@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visual_foresight_tpu.models.cdna import CDNAPredictor
+from visual_foresight_tpu.ops.cdna_warp import cdna_warp, normalize_kernels
+
+
+@pytest.fixture(scope='module')
+def tiny_model():
+    model = CDNAPredictor(n_context=2, num_masks=4, num_distribs=1, sdim=3,
+                          adim=3, enc_features=(8, 16, 32))
+    key = jax.random.PRNGKey(0)
+    B, T, H, W = 3, 6, 16, 24
+    images = jax.random.uniform(key, (B, 2, H, W, 3))
+    states = jax.random.normal(key, (B, 2, 3)) * 0.1
+    actions = jax.random.normal(key, (B, T, 3)) * 0.1
+    distribs = jnp.zeros((B, 2, H, W, 1)).at[:, :, 8, 12, 0].set(1.0)
+    params = model.init(key, images, actions, states, distribs)
+    return model, params, (images, actions, states, distribs)
+
+
+def test_cdna_warp_matches_naive():
+    rng = np.random.RandomState(0)
+    B, H, W, C, K, M = 2, 6, 8, 3, 3, 4
+    img = rng.randn(B, H, W, C).astype(np.float32)
+    kern = np.asarray(normalize_kernels(
+        jnp.asarray(rng.rand(B, K, K, M).astype(np.float32))))
+    out = np.asarray(cdna_warp(jnp.asarray(img), jnp.asarray(kern)))
+
+    pad = K // 2
+    imgp = np.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    naive = np.zeros((B, H, W, C, M), np.float32)
+    for b in range(B):
+        for m in range(M):
+            for i in range(H):
+                for j in range(W):
+                    naive[b, i, j, :, m] = np.tensordot(
+                        kern[b, :, :, m], imgp[b, i:i + K, j:j + K, :],
+                        axes=([0, 1], [0, 1]))
+    assert np.abs(out - naive).max() < 2e-6
+
+
+def test_kernel_normalization():
+    raw = jax.random.normal(jax.random.PRNGKey(1), (4, 5, 5, 10))
+    k = normalize_kernels(raw)
+    sums = np.asarray(jnp.sum(k, axis=(1, 2)))
+    assert np.allclose(sums, 1.0, atol=1e-5)
+    assert np.all(np.asarray(k) >= 0)
+
+
+def test_forward_shapes(tiny_model):
+    model, params, (images, actions, states, distribs) = tiny_model
+    out = model.apply(params, images, actions, states, distribs)
+    assert out['gen_images'].shape == (3, 6, 16, 24, 3)
+    assert out['gen_states'].shape == (3, 6, 3)
+    assert out['gen_distribs'].shape == (3, 6, 16, 24, 1)
+
+
+def test_distribs_stay_normalized(tiny_model):
+    model, params, (images, actions, states, distribs) = tiny_model
+    out = model.apply(params, images, actions, states, distribs)
+    sums = np.asarray(jnp.sum(out['gen_distribs'], axis=(2, 3)))
+    assert np.allclose(sums, 1.0, atol=1e-4)
+
+
+def test_action_conditioning_matters(tiny_model):
+    """Different action sequences must produce different predictions."""
+    model, params, (images, actions, states, distribs) = tiny_model
+    out1 = model.apply(params, images, actions, states, distribs)
+    out2 = model.apply(params, images, actions * -1.0 + 0.3, states, distribs)
+    diff = np.abs(np.asarray(out1['gen_images']) -
+                  np.asarray(out2['gen_images'])).max()
+    assert diff > 1e-5
+
+
+def test_context_teacher_forcing(tiny_model):
+    """The first prediction step consumes the first context frame; altering
+    the second context frame must not change the FIRST output step (it is
+    produced from frame 0) but must change later steps."""
+    model, params, (images, actions, states, distribs) = tiny_model
+    images2 = images.at[:, 1].set(jnp.roll(images[:, 1], 3, axis=2))
+    out1 = model.apply(params, images, actions, states, distribs)
+    out2 = model.apply(params, images2, actions, states, distribs)
+    first_diff = np.abs(np.asarray(out1['gen_images'][:, 0]) -
+                        np.asarray(out2['gen_images'][:, 0])).max()
+    later_diff = np.abs(np.asarray(out1['gen_images'][:, 2:]) -
+                        np.asarray(out2['gen_images'][:, 2:])).max()
+    assert first_diff < 1e-6
+    assert later_diff > 1e-6
+
+
+def test_stochastic_latent_varies():
+    model = CDNAPredictor(n_context=2, num_masks=4, num_distribs=1, sdim=3,
+                          adim=3, latent_dim=8, enc_features=(8, 16, 32))
+    key = jax.random.PRNGKey(0)
+    B, T, H, W = 2, 5, 16, 24
+    images = jax.random.uniform(key, (B, 2, H, W, 3))
+    states = jnp.zeros((B, 2, 3))
+    actions = jax.random.normal(key, (B, T, 3)) * 0.1
+    distribs = jnp.zeros((B, 2, H, W, 1)).at[:, :, 8, 12, 0].set(1.0)
+    params = model.init(key, images, actions, states, distribs)
+    o1 = model.apply(params, images, actions, states, distribs,
+                     rng=jax.random.PRNGKey(1))
+    o2 = model.apply(params, images, actions, states, distribs,
+                     rng=jax.random.PRNGKey(2))
+    diff = np.abs(np.asarray(o1['gen_images']) -
+                  np.asarray(o2['gen_images'])).max()
+    assert diff > 1e-6

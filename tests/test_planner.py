@@ -1,0 +1,142 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visual_foresight_tpu.planners import costs as cost_lib
+from visual_foresight_tpu.planners.gaussian import (fit_elites, initial_mean,
+                                                    initial_sigma,
+                                                    make_action_spec,
+                                                    sample_actions)
+
+HP = {'initial_std': 0.05, 'initial_std_lift': 0.15,
+      'initial_std_rot': np.pi / 18, 'initial_std_grasp': 2,
+      'action_order': ['x', 'z', 'grasp'], 'nactions': 3, 'repeat': 2}
+
+
+@pytest.fixture(scope='module')
+def spec():
+    return make_action_spec(HP, 3)
+
+
+def test_initial_sigma_matches_numpy(spec):
+    from visual_foresight_tpu.policy.utils.controller_utils import (
+        construct_initial_sigma)
+    from visual_foresight_tpu.utils.hparams import HParams
+    hp = HParams(**HP)
+    np_sigma = construct_initial_sigma(hp, 3)
+    jx_sigma = np.asarray(initial_sigma(spec))
+    assert np.allclose(np_sigma, jx_sigma, atol=1e-7)
+
+
+def test_sample_shapes_and_repeat(spec):
+    key = jax.random.PRNGKey(0)
+    mean, sigma = initial_mean(spec), initial_sigma(spec)
+    acts = np.asarray(sample_actions(key, mean, sigma, spec, 32))
+    assert acts.shape == (32, 6, 3)     # nactions*repeat = 6
+    # repeat blocks are identical
+    assert np.allclose(acts[:, 0], acts[:, 1])
+    assert np.allclose(acts[:, 2], acts[:, 3])
+    # xy clipped at 2*std
+    assert np.abs(acts[:, :, 0]).max() <= 2 * HP['initial_std'] + 1e-6
+
+
+def test_sample_statistics(spec):
+    key = jax.random.PRNGKey(1)
+    mean, sigma = initial_mean(spec), initial_sigma(spec)
+    acts = np.asarray(sample_actions(key, mean, sigma, spec, 4000,
+                                     action_bound=False))
+    grasp = acts[:, 0, 2]   # grasp dim: std 2, unclipped
+    assert abs(grasp.std() - 2.0) < 0.15
+    assert abs(grasp.mean()) < 0.15
+
+
+def test_rejection_bounds(spec):
+    key = jax.random.PRNGKey(2)
+    mean, sigma = initial_mean(spec), initial_sigma(spec)
+    acts = np.asarray(sample_actions(key, mean, sigma, spec, 500,
+                                     rejection_rounds=10))
+    assert np.abs(acts[:, :, 0]).max() <= 1.5 * HP['initial_std'] + 1e-6
+    assert np.abs(acts[:, :, 1]).max() <= 1.5 * HP['initial_std_lift'] + 1e-6
+
+
+def test_fit_elites_matches_numpy(spec):
+    rng = np.random.RandomState(0)
+    elites = rng.randn(8, 6, 3).astype(np.float32)
+    # make repeat blocks consistent the way sampled plans are
+    elites = np.repeat(elites[:, ::2], 2, axis=1)
+    mean, sigma = fit_elites(jnp.asarray(elites), spec)
+
+    acts = elites.reshape(8, 3, 2, 3)[:, :, -1, :].reshape(8, 9)
+    np_mean = acts.mean(0)
+    np_cov = np.cov(acts, rowvar=False, bias=False)
+    assert np.allclose(np.asarray(mean), np_mean, atol=1e-5)
+    assert np.allclose(np.asarray(sigma), np_cov, atol=1e-4)
+
+
+def test_distance_grid():
+    g = np.asarray(cost_lib.distance_grid(jnp.asarray([3.0, 4.0]), 8, 10))
+    assert g.shape == (8, 10)
+    assert g[3, 4] == 0
+    assert abs(g[0, 0] - 5.0) < 1e-5
+
+
+def test_expected_pixel_distance_prefers_closer():
+    H, W = 8, 10
+    goal = jnp.asarray([[[2.0, 3.0]]])          # (ncam=1, P=1, 2)
+    grids = cost_lib.distance_grid(goal, H, W)  # (1,1,H,W)
+    # sample 0: distribution at the goal; sample 1: far away
+    d = np.zeros((2, 4, 1, H, W, 1), np.float32)
+    d[0, :, 0, 2, 3, 0] = 1.0
+    d[1, :, 0, 7, 9, 0] = 1.0
+    scores = np.asarray(cost_lib.expected_pixel_distance(
+        jnp.asarray(d), grids, finalweight=10.0))
+    assert scores[0] < scores[1]
+    assert scores[0] < 1e-4
+
+
+def test_final_weight_dominates():
+    H, W = 8, 10
+    grids = cost_lib.distance_grid(jnp.asarray([[[2.0, 3.0]]]), H, W)
+    # sample 0: near goal early, far at the end; sample 1: opposite
+    d = np.zeros((2, 3, 1, H, W, 1), np.float32)
+    d[0, :2, 0, 2, 3, 0] = 1.0
+    d[0, 2, 0, 7, 9, 0] = 1.0
+    d[1, :2, 0, 7, 9, 0] = 1.0
+    d[1, 2, 0, 2, 3, 0] = 1.0
+    scores = np.asarray(cost_lib.expected_pixel_distance(
+        jnp.asarray(d), grids, finalweight=10.0))
+    assert scores[1] < scores[0]
+
+
+def test_fused_planner_finds_goal_directed_plan():
+    """End-to-end planner sanity: with a predictor whose distribution motion
+    follows the CDNA kernels, the returned best plan must beat the average
+    sampled plan on its own cost."""
+    from visual_foresight_tpu.models.cdna import CDNAPredictor
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+
+    model = CDNAPredictor(n_context=2, num_masks=4, num_distribs=1, sdim=3,
+                          adim=3, enc_features=(8, 16, 32))
+    spec = make_action_spec(HP, 3)
+    key = jax.random.PRNGKey(0)
+    H, W = 16, 24
+    imgs = jax.random.uniform(key, (1, 2, H, W, 3))
+    acts0 = jnp.zeros((1, 7, 3))
+    states = jnp.zeros((1, 2, 3))
+    distribs = jnp.zeros((1, 2, H, W, 1)).at[:, :, 8, 12, 0].set(1.0)
+    params = model.init(key, imgs, acts0, states, distribs)
+
+    planner = FusedCEMPlanner(model, spec, num_samples=24, iterations=2,
+                              k_elite=6, n_vis=4)
+    grids = cost_lib.distance_grid(jnp.asarray([[[4.0, 20.0]]]), H, W)
+    result = planner.replan(
+        [params], jax.random.PRNGKey(3), imgs[0][None][0][None],
+        states[0], distribs[0][None][0][None], jnp.zeros((1, 3)), grids,
+        initial_mean(spec), initial_sigma(spec))
+
+    scores = np.asarray(result['scores_per_itr'])
+    best = np.asarray(result['best_scores'])
+    assert best[0] <= scores[-1].mean()
+    assert result['best_actions'].shape == (6, 6, 3)
+    assert np.all(np.diff(best) >= -1e-5)   # sorted ascending

@@ -1,0 +1,282 @@
+"""Action-conditioned conv-LSTM video predictor with CDNA/DNA/SNA motion
+transforms, built TPU-first in flax.
+
+This internalizes the model the reference only *served* from external TF1
+checkpoints (``visual_mpc/video_prediction/vpred_model_interface.py:52-88``,
+operating points from ``experiments/*/conf.py``: 48x64 RGB, context_frames=2,
+sequence_length 13-15, CDNA with 10 kernels).  Architecture follows Finn et
+al. 2016 ("Unsupervised Learning for Physical Interaction through Video
+Prediction") with the SNA background-compositing option of Ebert et al. 2017:
+
+- 3-scale conv-LSTM encoder/decoder with skip connections
+- action/state "smear" conditioning at the bottleneck
+- per-sample CDNA kernels warp the previous frame; softmax masks composite
+- the SAME kernels/masks warp designated-pixel probability maps
+- linear state-propagation head
+- optional per-rollout latent (SV2P/SAVP-style stochasticity) so CEM can plan
+  under model uncertainty
+
+The whole horizon is ONE ``nn.scan`` with per-step teacher-forcing flags: the
+same compiled program serves planning (context teacher-forced, then
+autoregressive) and training (scheduled sampling).  The CEM sample batch is the
+leading axis, so hundreds of candidates roll out in a single device program.
+"""
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from visual_foresight_tpu.models.layers import ConvLSTMCell, LayerNorm
+from visual_foresight_tpu.ops.cdna_warp import cdna_warp, dna_warp, normalize_kernels
+
+
+class CDNAStep(nn.Module):
+    """One prediction step with nn.scan-compatible (carry, x) signature."""
+
+    num_masks: int = 10
+    kernel_size: int = 5
+    sna: bool = True            # composite the first context frame as well
+    dna: bool = False           # per-pixel kernels instead of CDNA
+    num_distribs: int = 0       # designated-pixel channels (0 = skip)
+    sdim: int = 3
+    dtype: Any = jnp.float32
+    enc_features: Tuple[int, int, int] = (32, 64, 128)
+
+    @nn.compact
+    def __call__(self, carry, x):
+        (lstm_states, prev_img, prev_distrib, prev_state,
+         first_image, first_distrib, latent) = carry
+        action, gt_image, gt_distrib, gt_state, use_gt = x
+
+        # teacher forcing / scheduled sampling: pick the network input
+        use_img = use_gt[:, None, None, None]
+        prev_img = use_img * gt_image + (1.0 - use_img) * prev_img
+        prev_state = use_gt[:, None] * gt_state + (1.0 - use_gt[:, None]) * prev_state
+        if self.num_distribs:
+            prev_distrib = use_img * gt_distrib + (1.0 - use_img) * prev_distrib
+
+        f1, f2, f3 = self.enc_features
+        conv = lambda feat, k, s, name: nn.Conv(
+            feat, (k, k), strides=(s, s), padding='SAME', dtype=self.dtype,
+            name=name)
+        deconv = lambda feat, name: nn.ConvTranspose(
+            feat, (3, 3), strides=(2, 2), padding='SAME', dtype=self.dtype,
+            name=name)
+
+        (s1, s2, s3, s4, s5) = lstm_states
+
+        enc0 = conv(f1, 5, 2, 'enc0')(prev_img.astype(self.dtype))     # H/2
+        enc0 = LayerNorm(name='ln0')(enc0)
+
+        s1, h1 = ConvLSTMCell(f1, dtype=self.dtype, name='lstm1')(s1, enc0)
+        h1 = LayerNorm(name='ln1')(h1)
+
+        enc1 = conv(f2, 3, 2, 'enc1')(h1)                               # H/4
+        s2, h2 = ConvLSTMCell(f2, dtype=self.dtype, name='lstm2')(s2, enc1)
+        h2 = LayerNorm(name='ln2')(h2)
+
+        enc2 = conv(f3, 3, 2, 'enc2')(h2)                               # H/8
+
+        sa = jnp.concatenate([prev_state, action], axis=-1)
+        cond = sa if latent is None else jnp.concatenate([sa, latent], -1)
+        smear = jnp.tile(cond.astype(self.dtype)[:, None, None, :],
+                         (1, enc2.shape[1], enc2.shape[2], 1))
+        enc3 = conv(f3, 1, 1, 'enc3')(jnp.concatenate([enc2, smear], axis=-1))
+
+        s3, h3 = ConvLSTMCell(f3, dtype=self.dtype, name='lstm3')(s3, enc3)
+        h3 = LayerNorm(name='ln3')(h3)
+
+        dec1 = deconv(f2, 'dec1')(h3)                                   # H/4
+        s4, h4 = ConvLSTMCell(f2, dtype=self.dtype, name='lstm4')(
+            s4, jnp.concatenate([dec1, enc1], axis=-1))
+        h4 = LayerNorm(name='ln4')(h4)
+
+        dec2 = deconv(f1, 'dec2')(h4)                                   # H/2
+        s5, h5 = ConvLSTMCell(f1, dtype=self.dtype, name='lstm5')(
+            s5, jnp.concatenate([dec2, enc0], axis=-1))
+        h5 = LayerNorm(name='ln5')(h5)
+
+        dec3 = deconv(f1, 'dec3')(h5)                                   # H
+        dec3 = LayerNorm(name='ln6')(dec3)
+
+        # -- heads -------------------------------------------------------------
+        b = prev_img.shape[0]
+        num_candidates = self.num_masks + (2 if self.sna else 1)
+        masks = nn.Conv(num_candidates, (1, 1), dtype=self.dtype,
+                        name='mask_head')(dec3)
+        masks = jax.nn.softmax(masks.astype(jnp.float32), axis=-1)
+
+        prev_f32 = prev_img.astype(jnp.float32)
+        if self.dna:
+            pk = nn.Conv(self.kernel_size ** 2, (1, 1), dtype=self.dtype,
+                         name='dna_head')(dec3)
+            pk = jax.nn.relu(pk.astype(jnp.float32) - 1e-12) + 1e-12
+            pk = pk / jnp.sum(pk, -1, keepdims=True)
+            transformed = dna_warp(prev_f32, pk)[..., None]   # (B,H,W,C,1)
+            kernels = None
+        else:
+            flat = h3.astype(jnp.float32).reshape(b, -1)
+            raw = nn.Dense(self.num_masks * self.kernel_size ** 2,
+                           name='cdna_head')(flat)
+            kernels = normalize_kernels(
+                raw.reshape(b, self.kernel_size, self.kernel_size,
+                            self.num_masks))
+            transformed = cdna_warp(prev_f32, kernels)        # (B,H,W,C,M)
+
+        offset = 2 if self.sna else 1
+        gen_image = prev_f32 * masks[..., 0:1]
+        if self.sna:
+            gen_image = gen_image + \
+                first_image.astype(jnp.float32) * masks[..., 1:2]
+        gen_image = gen_image + jnp.einsum(
+            'bhwcm,bhwm->bhwc', transformed, masks[..., offset:],
+            preferred_element_type=jnp.float32)
+
+        gen_distrib = prev_distrib
+        if self.num_distribs:
+            pd = prev_distrib.astype(jnp.float32)
+            gd = pd * masks[..., 0:1]
+            if self.sna:
+                gd = gd + first_distrib.astype(jnp.float32) * masks[..., 1:2]
+            if self.dna:
+                gd = gd + dna_warp(pd, pk) * jnp.sum(masks[..., offset:], -1,
+                                                     keepdims=True)
+            else:
+                warped_pd = cdna_warp(pd, kernels)            # (B,H,W,P,M)
+                gd = gd + jnp.einsum('bhwpm,bhwm->bhwp', warped_pd,
+                                     masks[..., offset:],
+                                     preferred_element_type=jnp.float32)
+            total = jnp.sum(gd, axis=(1, 2), keepdims=True)
+            gen_distrib = gd / jnp.maximum(total, 1e-12)
+
+        state_delta = nn.Dense(self.sdim, name='state_head')(
+            sa.astype(jnp.float32))
+        gen_state = prev_state + state_delta
+
+        new_carry = ((s1, s2, s3, s4, s5), gen_image, gen_distrib, gen_state,
+                     first_image, first_distrib, latent)
+        outs = (gen_image, gen_distrib if self.num_distribs else 0.0, gen_state)
+        return new_carry, outs
+
+
+class CDNAPredictor(nn.Module):
+    """Full-horizon rollout (single nn.scan over time).
+
+    Inputs (batch-leading):
+      images:   (B, n_in, H, W, C) float in [0, 1]; n_in >= n_context.  During
+                planning n_in == n_context; during training n_in == T+1 (full
+                trajectory, consumed per the teacher-forcing schedule).
+      actions:  (B, T, adim)
+      states:   (B, n_in, sdim) or None
+      distribs: (B, n_in, H, W, P) or None (P must equal num_distribs)
+      rng:      PRNG key for the stochastic latent (latent_dim > 0)
+      gt_mask:  optional (T,) or (B, T) float teacher-forcing schedule;
+                default = force the first n_context-1 steps, autoregress after
+
+    Returns dict: 'gen_images' (B, T, H, W, C), 'gen_states' (B, T, sdim),
+    'gen_distribs' (B, T, H, W, P).  Output index t predicts frame t+1; the
+    planner slices the tail [n_context-1:] which matches the reference
+    predictor contract (predictions strictly after the context window,
+    ``vpred_model_interface.py:75-88``).
+    """
+
+    n_context: int = 2
+    num_masks: int = 10
+    kernel_size: int = 5
+    sna: bool = True
+    dna: bool = False
+    latent_dim: int = 0
+    num_distribs: int = 0
+    sdim: int = 3
+    adim: int = 3
+    dtype: Any = jnp.float32
+    enc_features: Tuple[int, int, int] = (32, 64, 128)
+
+    @nn.compact
+    def __call__(self, images, actions, states=None, distribs=None, rng=None,
+                 gt_mask=None):
+        b, n_in, h, w, c = images.shape
+        T = actions.shape[1]
+        if states is None:
+            states = jnp.zeros((b, n_in, self.sdim), jnp.float32)
+        if self.num_distribs:
+            assert distribs is not None and distribs.shape[-1] == self.num_distribs
+
+        # pad ground-truth streams along time to T (masked off past n_in)
+        def pad_time(x, target):
+            pad = target - x.shape[1]
+            if pad <= 0:
+                return x[:, :target]
+            zeros = jnp.zeros((x.shape[0], pad) + x.shape[2:], x.dtype)
+            return jnp.concatenate([x, zeros], axis=1)
+
+        gt_images = pad_time(images.astype(jnp.float32), T)
+        gt_states = pad_time(states.astype(jnp.float32), T)
+        gt_distribs = pad_time(distribs.astype(jnp.float32), T) \
+            if self.num_distribs else jnp.zeros((b, T, 0))
+
+        if gt_mask is None:
+            # plan mode: teacher-force while context frames remain (step t
+            # consumes frame t, so steps 0..n_context-1 take ground truth)
+            m = (jnp.arange(T) < self.n_context).astype(jnp.float32)
+            gt_mask = jnp.tile(m[None], (b, 1))
+        elif gt_mask.ndim == 1:
+            gt_mask = jnp.tile(gt_mask[None], (b, 1))
+        # the first step always consumes the first ground-truth frame
+        gt_mask = gt_mask.at[:, 0].set(1.0)
+
+        latent = None
+        if self.latent_dim > 0:
+            if rng is None:
+                latent = jnp.zeros((b, self.latent_dim), jnp.float32)
+            else:
+                latent = jax.random.normal(rng, (b, self.latent_dim))
+
+        f1, f2, f3 = self.enc_features
+        lstm_states = (
+            ConvLSTMCell.initial_state(b, h // 2, w // 2, f1, self.dtype),
+            ConvLSTMCell.initial_state(b, h // 4, w // 4, f2, self.dtype),
+            ConvLSTMCell.initial_state(b, h // 8, w // 8, f3, self.dtype),
+            ConvLSTMCell.initial_state(b, h // 4, w // 4, f2, self.dtype),
+            ConvLSTMCell.initial_state(b, h // 2, w // 2, f1, self.dtype),
+        )
+
+        first_image = images[:, 0].astype(jnp.float32)
+        first_distrib = distribs[:, 0].astype(jnp.float32) \
+            if self.num_distribs else jnp.zeros((b, h, w, 0))
+
+        init_carry = (lstm_states, first_image,
+                      first_distrib, states[:, 0].astype(jnp.float32),
+                      first_image, first_distrib, latent)
+
+        xs = (
+            jnp.swapaxes(actions.astype(jnp.float32), 0, 1),   # (T,B,adim)
+            jnp.swapaxes(gt_images, 0, 1),
+            jnp.swapaxes(gt_distribs, 0, 1) if self.num_distribs
+            else jnp.zeros((T, b, 0)),
+            jnp.swapaxes(gt_states, 0, 1),
+            jnp.swapaxes(gt_mask, 0, 1),                        # (T,B)
+        )
+
+        ScannedStep = nn.scan(
+            CDNAStep,
+            variable_broadcast='params',
+            split_rngs={'params': False},
+            in_axes=0, out_axes=0)
+
+        step = ScannedStep(num_masks=self.num_masks,
+                           kernel_size=self.kernel_size, sna=self.sna,
+                           dna=self.dna, num_distribs=self.num_distribs,
+                           sdim=self.sdim, dtype=self.dtype,
+                           enc_features=self.enc_features, name='step')
+        _, (imgs_tm, distribs_tm, states_tm) = step(init_carry, xs)
+
+        result = {
+            'gen_images': jnp.swapaxes(imgs_tm, 0, 1),
+            'gen_states': jnp.swapaxes(states_tm, 0, 1),
+        }
+        if self.num_distribs:
+            result['gen_distribs'] = jnp.swapaxes(distribs_tm, 0, 1)
+        return result

@@ -1,0 +1,58 @@
+"""Building blocks for the video-prediction models.
+
+TPU notes: everything is NHWC (lane dim = channels), convs carry
+``preferred_element_type=float32`` accumulation when running in bfloat16, and
+LayerNorm keeps float32 statistics.
+"""
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvLSTMCell(nn.Module):
+    """Standard convolutional LSTM cell.
+
+    State is (c, h), both (B, H, W, features).  Gates come from a single
+    convolution over concat([x, h]) split four ways (i, g, f, o ordering is an
+    internal detail; any consistent ordering trains equivalently).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (5, 5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, state, x):
+        c, h = state
+        xh = jnp.concatenate([x, h], axis=-1)
+        gates = nn.Conv(4 * self.features, self.kernel_size, padding='SAME',
+                        dtype=self.dtype, name='gates')(xh)
+        i, g, f, o = jnp.split(gates, 4, axis=-1)
+        i = nn.sigmoid(i)
+        # forget-gate bias +1 folded in: standard LSTM stabilization
+        f = nn.sigmoid(f + 1.0)
+        g = nn.tanh(g)
+        o = nn.sigmoid(o)
+        new_c = f * c + i * g
+        new_h = o * nn.tanh(new_c)
+        return (new_c, new_h), new_h
+
+    @staticmethod
+    def initial_state(batch, height, width, features, dtype=jnp.float32):
+        shape = (batch, height, width, features)
+        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel axis with float32 statistics regardless of
+    compute dtype (bf16-safe)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.LayerNorm(dtype=jnp.float32, name='ln')(x.astype(jnp.float32))
+        return y.astype(orig_dtype)

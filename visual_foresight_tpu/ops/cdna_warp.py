@@ -1,0 +1,126 @@
+"""CDNA transformed-convolution warp.
+
+The core op of the CDNA/SNA video predictor family (Finn et al. 2016; served —
+not implemented — by the reference via external SAVP checkpoints, see
+``visual_mpc/video_prediction/vpred_model_interface.py``): every sample in the
+batch predicts its OWN set of ``M`` small (K x K) convolution kernels, each of
+which warps the previous frame into a candidate next frame; predicted
+compositing masks then blend the candidates.  The same kernels/masks warp the
+designated-pixel probability distributions, which is what gives visual-MPC its
+planning cost.
+
+Batch-varying kernels defeat stock convolution primitives (which share weights
+across the batch).  TPU-first formulation: extract image patches once, then
+contract patches against per-sample kernels as a batched matmul — this lands on
+the MXU and fuses with the mask blend.  A fused Pallas kernel
+(``pallas_cdna.py``) covers the largest shapes; this XLA path is the reference
+implementation and fallback.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+RELU_SHIFT = 1e-12
+
+
+def normalize_kernels(raw_kernels):
+    """ReLU + eps, normalized so each kernel sums to 1.
+
+    raw_kernels: (B, K, K, M) -> same shape, sum over (K, K) == 1.
+    """
+    k = jax.nn.relu(raw_kernels - RELU_SHIFT) + RELU_SHIFT
+    norm = jnp.sum(k, axis=(1, 2), keepdims=True)
+    return k / norm
+
+
+def extract_patches(images, ksize):
+    """(B, H, W, C) -> (B, H, W, C, ksize*ksize) patches with SAME padding.
+
+    Patch layout matches ``lax.conv_general_dilated_patches``: the channel
+    dimension of the output is ordered C-major (c * KK + patch_index).
+    """
+    b, h, w, c = images.shape
+    patches = lax.conv_general_dilated_patches(
+        images,
+        filter_shape=(ksize, ksize),
+        window_strides=(1, 1),
+        padding='SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        precision=lax.Precision.HIGHEST,
+    )  # (B, H, W, C*K*K), ordered [c, kh, kw]
+    return patches.reshape(b, h, w, c, ksize * ksize)
+
+
+def cdna_warp(images, kernels):
+    """Apply per-sample CDNA kernels to images.
+
+    :param images: (B, H, W, C) previous frames (any float dtype)
+    :param kernels: (B, K, K, M) normalized transformation kernels
+    :return: (B, H, W, C, M) transformed candidate frames
+    """
+    ksize = kernels.shape[1]
+    m = kernels.shape[3]
+    patches = extract_patches(images, ksize)                # (B,H,W,C,KK)
+    # kernels flattened (kh, kw) must match patch index order (kh*K + kw).
+    # CDNA correlates (no kernel flip), matching the TF reference's
+    # depthwise_conv2d formulation.
+    kflat = kernels.reshape(kernels.shape[0], ksize * ksize, m)  # (B,KK,M)
+    # batched contraction over KK -> MXU
+    out = jnp.einsum('bhwck,bkm->bhwcm', patches, kflat,
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+    return out.astype(images.dtype)
+
+
+def dna_warp(images, pixel_kernels):
+    """DNA variant: a distinct kernel per output pixel.
+
+    :param images: (B, H, W, C)
+    :param pixel_kernels: (B, H, W, K*K) normalized per-pixel kernels
+    :return: (B, H, W, C)
+    """
+    ksize = int(round(pixel_kernels.shape[-1] ** 0.5))
+    patches = extract_patches(images, ksize)                # (B,H,W,C,KK)
+    out = jnp.einsum('bhwck,bhwk->bhwc', patches, pixel_kernels,
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+    return out.astype(images.dtype)
+
+
+def composite(background, transformed, masks):
+    """Blend candidates with compositing masks.
+
+    :param background: (B, H, W, C) static/background candidate (e.g. the
+        previous frame for CDNA, the first context frame for SNA)
+    :param transformed: (B, H, W, C, M) warped candidates
+    :param masks: (B, H, W, M+1) softmax masks; channel 0 is the background
+    :return: (B, H, W, C)
+    """
+    out = background * masks[..., 0:1]
+    out = out + jnp.einsum('bhwcm,bhwm->bhwc', transformed, masks[..., 1:],
+                           preferred_element_type=jnp.float32).astype(background.dtype)
+    return out
+
+
+def warp_and_composite(prev_image, background, kernels, masks):
+    """Fused helper: warp ``prev_image`` with ``kernels`` then composite."""
+    transformed = cdna_warp(prev_image, kernels)
+    return composite(background, transformed, masks)
+
+
+def warp_distribution(prev_distrib, background_distrib, kernels, masks,
+                      renormalize=True):
+    """Warp pixel probability distributions with the same kernels/masks.
+
+    :param prev_distrib: (B, H, W, P) probability maps (P designated pixels)
+    :param background_distrib: (B, H, W, P) distribution blended under mask 0
+    :return: (B, H, W, P), renormalized to sum 1 over (H, W) when requested
+        (keeps the autoregressive rollout numerically stable; the reference
+        normalizes at cost time, ``pixel_cost_controller.py:180``)
+    """
+    warped = warp_and_composite(prev_distrib, background_distrib, kernels, masks)
+    if renormalize:
+        total = jnp.sum(warped, axis=(1, 2), keepdims=True)
+        warped = warped / jnp.maximum(total, 1e-12)
+    return warped

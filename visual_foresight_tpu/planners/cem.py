@@ -1,0 +1,161 @@
+"""Fully fused on-device CEM replanning.
+
+The reference's replan loop crosses host<->device 3x(ceil(M/batch)) times and
+does sampling, cost math, elite selection, and refit in numpy
+(``cem_base_controller.py:85-116``, ``pred_util.py:21-48``,
+``pixel_cost_controller.py:135-187``).  Here the WHOLE box — Gaussian sampling
+(device PRNG), predictor rollout (``nn.scan`` over the horizon, sample batch in
+one program), pixel cost, ``lax.top_k`` elite selection and mean/cov refit —
+compiles into a single XLA program.  Zero host round trips per replan; the CEM
+iteration loop is unrolled (iterations=3 is static).
+
+Multi-chip: the sample axis shards over a ``jax.sharding.Mesh`` — see
+``parallel/mesh.py``; scores all-gather over ICI (KB-scale), exactly the layout
+SURVEY.md §5.8 prescribes.
+"""
+
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from visual_foresight_tpu.planners import costs as cost_lib
+from visual_foresight_tpu.planners.gaussian import (ActionSpec, fit_elites,
+                                                    sample_actions)
+
+
+class FusedCEMPlanner:
+    """Compiles and runs the fused replan program.
+
+    :param model: a CDNAPredictor-like flax module (shared across cameras)
+    :param spec: ActionSpec (static sampling description)
+    :param num_samples: M candidates per CEM iteration
+    :param iterations: CEM iterations (statically unrolled)
+    :param k_elite: elite count for the refit
+    :param finalweight: last-step weight in the pixel cost
+    :param rejection_rounds: bounded rejection-resample rounds (0 = off)
+    :param action_bound: clip xy/theta after sampling
+    :param cost_fn: optional override mapping (gen_images, gen_distribs,
+        cost_ctx) -> (M,) scores; defaults to expected pixel distance
+    :param n_vis: how many elite rollouts to return for visualization
+    """
+
+    def __init__(self, model, spec: ActionSpec, num_samples: int,
+                 iterations: int = 3, k_elite: int = 10,
+                 finalweight: float = 10.0, rejection_rounds: int = 0,
+                 action_bound: bool = True, only_first_view: bool = False,
+                 cost_fn=None, n_vis: int = 10, blockdiag_refit: bool = False,
+                 donate_dist: bool = True):
+        self._model = model
+        self._spec = spec
+        self._M = num_samples
+        self._iterations = iterations
+        self._K = k_elite
+        self._finalweight = finalweight
+        self._rej = rejection_rounds
+        self._bound = action_bound
+        self._ofv = only_first_view
+        self._cost_fn = cost_fn
+        self._n_vis = min(n_vis, num_samples)
+        self._blockdiag = blockdiag_refit
+        self._replan_jit = jax.jit(self._replan)
+
+    # -- core program --------------------------------------------------------------
+    def _rollout(self, params, images, states, distribs, actions, rng):
+        """Roll all cameras; returns (M,T',ncam,H,W,C), (M,T',ncam,H,W,P).
+
+        ``params`` is a list with one pytree per camera (shared model arch).
+        Context tensors are per-camera: images (ncam, n_ctx, H, W, C).
+        """
+        n_ctx = self._model.n_context
+        M = actions.shape[0]
+        gen_images, gen_distribs = [], []
+        for c, cam_params in enumerate(params):
+            imgs = jnp.broadcast_to(images[c][None],
+                                    (M,) + images[c].shape)
+            dstr = jnp.broadcast_to(distribs[c][None],
+                                    (M,) + distribs[c].shape)
+            sts = jnp.broadcast_to(states[None], (M,) + states.shape)
+            out = self._model.apply(cam_params, imgs, actions, sts, dstr,
+                                    rng=rng)
+            gen_images.append(out['gen_images'][:, n_ctx - 1:])
+            gen_distribs.append(out['gen_distribs'][:, n_ctx - 1:])
+        return (jnp.stack(gen_images, axis=2), jnp.stack(gen_distribs, axis=2))
+
+    def _replan(self, params, key, context_images, context_states,
+                context_distribs, context_actions, dist_grids, mean, sigma):
+        """One full replan.
+
+        :param context_images: (ncam, n_ctx, H, W, C) float [0,1]
+        :param context_states: (n_ctx, sdim)
+        :param context_distribs: (ncam, n_ctx, H, W, P)
+        :param context_actions: (n_ctx - 1, adim) actions already executed
+            between the context frames (prepended to every candidate plan)
+        :param dist_grids: (ncam, P, H, W)
+        :param mean/sigma: current sampling distribution (flattened plan)
+        :return: dict with best actions, scores, refit mean/sigma, vis tensors
+        """
+        spec = self._spec
+        M, K = self._M, self._K
+        plan_scores = []
+        best_actions = None
+        vis = None
+
+        for itr in range(self._iterations):
+            key, k_sample, k_model = jax.random.split(key, 3)
+            plan = sample_actions(k_sample, mean, sigma, spec, M,
+                                  rejection_rounds=self._rej,
+                                  action_bound=self._bound)        # (M,T,adim)
+            full_actions = jnp.concatenate(
+                [jnp.broadcast_to(context_actions[None],
+                                  (M,) + context_actions.shape), plan], axis=1)
+
+            gen_images, gen_distribs = self._rollout(
+                params, context_images, context_states, context_distribs,
+                full_actions, k_model)
+
+            if self._cost_fn is not None:
+                scores = self._cost_fn(gen_images, gen_distribs)
+            else:
+                scores = cost_lib.expected_pixel_distance(
+                    gen_distribs, dist_grids, self._finalweight,
+                    normalize=True, only_first_view=self._ofv)
+
+            neg_top, elite_idx = jax.lax.top_k(-scores, K)
+            elite_actions = plan[elite_idx]
+            best_actions = elite_actions
+            plan_scores.append(scores)
+
+            if itr == self._iterations - 1:
+                nv = self._n_vis
+                vis = {
+                    'indices': elite_idx[:nv],
+                    'gen_images': gen_images[elite_idx[:nv]],
+                    'gen_distribs': gen_distribs[elite_idx[:nv]],
+                    'scores': -neg_top[:nv],
+                }
+            else:
+                mean, sigma = fit_elites(elite_actions, spec,
+                                         blockdiag=self._blockdiag)
+
+        return {
+            'best_actions': best_actions,          # (K, T, adim) sorted best-first
+            'best_scores': -neg_top,               # (K,)
+            'scores_per_itr': jnp.stack(plan_scores),  # (iters, M)
+            'mean': mean,
+            'sigma': sigma,
+            'vis': vis,
+        }
+
+    # -- public -----------------------------------------------------------------------
+    def replan(self, params, key, context_images, context_states,
+               context_distribs, context_actions, dist_grids, mean, sigma):
+        """Run the jitted replan; returns the result dict of device arrays."""
+        return self._replan_jit(params, key, context_images, context_states,
+                                context_distribs, context_actions, dist_grids,
+                                mean, sigma)
+
+    @property
+    def spec(self):
+        return self._spec

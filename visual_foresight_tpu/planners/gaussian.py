@@ -1,0 +1,185 @@
+"""On-device Gaussian CEM action distribution.
+
+JAX re-formulation of the reference's numpy sampler math
+(``visual_mpc/policy/cem_controllers/samplers/gaussian_sampler.py`` and
+``policy/utils/controller_utils.py``): full-covariance sampling over the
+flattened (nactions*adim) plan via Cholesky, per-dimension std table keyed by
+``action_order``, bounded rejection sampling (jit-safe: a fixed number of
+resample rounds followed by clipping, instead of the reference's unbounded
+python loop at ``gaussian_sampler.py:109-150``), repeat-expansion, xy/theta
+truncation, and elite mean/covariance refit.
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_ROT = np.pi / 4
+
+
+class ActionSpec(NamedTuple):
+    """Static description of the action distribution."""
+    adim: int
+    nactions: int
+    repeat: int
+    per_dim_std: tuple           # len adim, initial std per dim
+    clip_dims_xy: tuple          # dims clipped to ±2*initial_std (x/y)
+    clip_dims_rot: tuple         # dims clipped to ±pi/4 (theta)
+    rej_dims_xy: tuple           # dims rejection-bounded at 1.5*xy std
+    rej_dims_lift: tuple         # dims rejection-bounded at 1.5*lift std
+    xy_std: float
+    lift_std: float
+
+
+def make_action_spec(hp_dict, adim):
+    """Build an ActionSpec from controller hparams (dict-like with
+    initial_std/initial_std_lift/initial_std_rot/initial_std_grasp,
+    action_order, nactions, repeat)."""
+    xy_std = hp_dict['initial_std']
+    lift_std = hp_dict['initial_std_lift']
+    rot_std = hp_dict['initial_std_rot']
+    grasp_std = hp_dict['initial_std_grasp']
+    order = hp_dict.get('action_order')
+
+    if order is not None:
+        table = {'x': xy_std, 'y': xy_std, 'z': lift_std, 'theta': rot_std,
+                 'grasp': grasp_std}
+        stds = [table[a] for a in order]
+        clip_xy = tuple(i for i, a in enumerate(order) if a in ('x', 'y'))
+        clip_rot = tuple(i for i, a in enumerate(order) if a == 'theta')
+        rej_xy = clip_xy
+        rej_lift = tuple(i for i, a in enumerate(order) if a == 'z')
+    else:
+        names = ['x', 'y', 'z', 'theta', 'grasp'][:adim]
+        table = {'x': xy_std, 'y': xy_std, 'z': lift_std, 'theta': rot_std,
+                 'grasp': grasp_std}
+        stds = [table[n] for n in names]
+        clip_xy = tuple(i for i in range(min(2, adim)))
+        clip_rot = (3,) if adim >= 4 else ()
+        rej_xy = clip_xy
+        rej_lift = (2,) if adim >= 3 else ()
+
+    return ActionSpec(adim=len(stds), nactions=hp_dict['nactions'],
+                      repeat=hp_dict['repeat'], per_dim_std=tuple(stds),
+                      clip_dims_xy=clip_xy, clip_dims_rot=clip_rot,
+                      rej_dims_xy=rej_xy, rej_dims_lift=rej_lift,
+                      xy_std=xy_std, lift_std=lift_std)
+
+
+def initial_sigma(spec: ActionSpec, reduce_std_dev: float = 1.0,
+                  reduce: bool = False):
+    """Diagonal covariance over the flattened plan
+    (reference ``controller_utils.py:47-84``)."""
+    diag = np.tile(np.square(np.array(spec.per_dim_std)), spec.nactions)
+    if reduce:
+        diag[:(spec.nactions - 1) * spec.adim] *= reduce_std_dev
+    return jnp.asarray(np.diag(diag), jnp.float32)
+
+
+def initial_mean(spec: ActionSpec):
+    return jnp.zeros(spec.adim * spec.nactions, jnp.float32)
+
+
+def _plan_bounds(spec: ActionSpec, factor: float):
+    """(lo, hi) per flattened-plan dim for rejection bounds; ±inf elsewhere."""
+    lo = np.full(spec.adim, -np.inf)
+    hi = np.full(spec.adim, np.inf)
+    for d in spec.rej_dims_xy:
+        lo[d], hi[d] = -factor * spec.xy_std, factor * spec.xy_std
+    for d in spec.rej_dims_lift:
+        lo[d], hi[d] = -factor * spec.lift_std, factor * spec.lift_std
+    lo = np.tile(lo, spec.nactions)
+    hi = np.tile(hi, spec.nactions)
+    return jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)
+
+
+def truncate(actions, spec: ActionSpec):
+    """Clip xy to ±2*xy_std and theta to ±pi/4 over (..., adim)
+    (reference ``controller_utils.py:6-44``)."""
+    maxshift = 2.0 * spec.xy_std
+    for d in spec.clip_dims_xy:
+        actions = actions.at[..., d].set(
+            jnp.clip(actions[..., d], -maxshift, maxshift))
+    for d in spec.clip_dims_rot:
+        actions = actions.at[..., d].set(
+            jnp.clip(actions[..., d], -MAX_ROT, MAX_ROT))
+    return actions
+
+
+@partial(jax.jit, static_argnames=('spec', 'nsamples', 'rejection_rounds',
+                                   'action_bound'))
+def sample_actions(key, mean, sigma, spec: ActionSpec, nsamples: int,
+                   rejection_rounds: int = 0, action_bound: bool = True):
+    """Draw nsamples plans and repeat-expand to (nsamples, nactions*repeat, adim).
+
+    rejection_rounds > 0 emulates the reference's rejection sampler with a
+    bounded resample-then-clip loop (each round resamples still-invalid rows).
+    """
+    dim = spec.adim * spec.nactions
+    # robust Cholesky: covariance from a small elite set can be singular
+    chol = jnp.linalg.cholesky(
+        sigma + 1e-10 * jnp.eye(dim, dtype=sigma.dtype))
+    chol = jnp.where(jnp.isnan(chol),
+                     jnp.sqrt(jnp.maximum(jnp.diag(sigma), 1e-12))[:, None] *
+                     jnp.eye(dim), chol)
+
+    def draw(k):
+        z = jax.random.normal(k, (nsamples, dim))
+        return mean[None] + z @ chol.T
+
+    key, sub = jax.random.split(key)
+    flat = draw(sub)
+
+    if rejection_rounds > 0:
+        lo, hi = _plan_bounds(spec, 1.5)
+
+        def body(i, carry):
+            flat, key = carry
+            key, sub = jax.random.split(key)
+            invalid = jnp.any((flat < lo[None]) | (flat > hi[None]), axis=1)
+            fresh = draw(sub)
+            flat = jnp.where(invalid[:, None], fresh, flat)
+            return flat, key
+
+        flat, key = jax.lax.fori_loop(0, rejection_rounds, body, (flat, key))
+        flat = jnp.clip(flat, lo[None], hi[None])  # clamp stragglers
+
+    actions = flat.reshape(nsamples, spec.nactions, spec.adim)
+    if action_bound:
+        actions = truncate(actions, spec)
+    return jnp.repeat(actions, spec.repeat, axis=1)
+
+
+def fit_elites(elite_actions, spec: ActionSpec, blockdiag: bool = False):
+    """Refit (mean, sigma) from elite plans
+    (reference ``gaussian_sampler.py:96-107``): keep one action per repeat
+    block, flatten, unbiased covariance."""
+    k = elite_actions.shape[0]
+    acts = elite_actions.reshape(k, spec.nactions, spec.repeat, spec.adim)
+    acts = acts[:, :, -1, :].reshape(k, spec.nactions * spec.adim)
+    mean = jnp.mean(acts, axis=0)
+    centered = acts - mean[None]
+    sigma = centered.T @ centered / jnp.maximum(k - 1, 1)
+    if blockdiag:
+        mask = np.zeros((spec.nactions * spec.adim,) * 2, np.float32)
+        for i in range(spec.nactions - 1):
+            a = i * spec.adim
+            mask[a:a + 2 * spec.adim, a:a + 2 * spec.adim] = 1.0
+        sigma = sigma * jnp.asarray(mask)
+    return mean, sigma
+
+
+def shift_sigma(sigma, spec: ActionSpec, reuse_fraction: float):
+    """Between-replan covariance shift (reference ``controller_utils.py:87-96``)."""
+    adim, n = spec.adim, spec.nactions
+    init = np.tile(np.square(np.array(spec.per_dim_std)), n)
+    init = jnp.asarray(np.diag(init), jnp.float32)
+    dim = adim * n
+    out = jnp.zeros_like(sigma)
+    out = out.at[:dim - adim, :dim - adim].set(
+        sigma[adim:, adim:] + init[:dim - adim, :dim - adim] * reuse_fraction)
+    out = out.at[dim - adim:, dim - adim:].set(init[:adim, :adim])
+    return out

@@ -1,0 +1,2 @@
+from .cem_sampler import CEMSampler
+from .gaussian_sampler import GaussianCEMSampler

@@ -1,0 +1,208 @@
+"""Predictor serving layer — the reference-shaped interface around the jitted
+CDNA rollout.
+
+Replaces the multi-GPU TF1 tower server (``visual_mpc/video_prediction/
+setup_predictor.py:61-202``): instead of slicing the CEM batch across GPU
+towers and concatenating fetches, ONE jitted program rolls the whole batch on
+the TPU chip (optionally sharded over a device mesh, see ``parallel/mesh.py``).
+
+``TPUPredictor`` implements the calling convention controllers expect
+(``pixel_cost_controller.py:76-86``)::
+
+    predictor = TPUPredictor(model_path, {'designated_pixel_count': 1,
+                                          'run_batch_size': 200, ...})
+    predictor.restore()
+    out = predictor({'context_frames': ..., 'context_actions': ...,
+                     'context_pixel_distributions': ..., 'context_states': ...},
+                    {'actions': actions})
+    out['predicted_frames']                # (M, T', ncam, H, W, 3) float32
+    out['predicted_pixel_distributions']   # (M, T', ncam, H, W, P)
+"""
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_foresight_tpu.models.cdna import CDNAPredictor
+from visual_foresight_tpu.prediction import checkpoints
+
+
+DEFAULT_HPARAMS = {
+    'designated_pixel_count': 1,
+    'run_batch_size': 200,
+    'sequence_length': 15,
+    'context_frames': 2,
+    'ncam': 1,
+    'img_dims': (48, 64),
+    'adim': 3,
+    'sdim': 3,
+    'num_masks': 10,
+    'kernel_size': 5,
+    'sna': True,
+    'dna': False,
+    'latent_dim': 0,            # >0 for the stochastic (SAVP-style) variant
+    'dtype': 'bfloat16',        # compute dtype on TPU
+}
+
+
+class TPUPredictor:
+    """Serves an action-conditioned video predictor as one device program."""
+
+    def __init__(self, model_path, hparams=None, n_gpus=1, first_gpu=0,
+                 model_kwargs=None):
+        # n_gpus/first_gpu kept for ctor compatibility with the reference
+        # controllers; device placement is handled by JAX/shardings.
+        self._model_path = model_path
+        hp = dict(DEFAULT_HPARAMS)
+        hp.update(hparams or {})
+        self._hp = hp
+
+        dtype = jnp.bfloat16 if hp['dtype'] == 'bfloat16' else jnp.float32
+        self.model = CDNAPredictor(
+            n_context=hp['context_frames'],
+            num_masks=hp['num_masks'],
+            kernel_size=hp['kernel_size'],
+            sna=hp['sna'], dna=hp['dna'],
+            latent_dim=hp['latent_dim'],
+            num_distribs=hp['designated_pixel_count'],
+            sdim=hp['sdim'], adim=hp['adim'], dtype=dtype,
+            **(model_kwargs or {}))
+
+        self.params = None          # list: one pytree per camera
+        self._forward = None
+
+    # -- reference-visible attributes ------------------------------------------------
+    @property
+    def n_context(self):
+        return self._hp['context_frames']
+
+    @property
+    def sequence_length(self):
+        return self._hp['sequence_length']
+
+    @property
+    def n_cam(self):
+        return self._hp['ncam']
+
+    @property
+    def horizon(self):
+        return self._hp['sequence_length'] - self._hp['context_frames']
+
+    def _init_params(self, seed=0):
+        h, w = self._hp['img_dims']
+        n_ctx = self._hp['context_frames']
+        key = jax.random.PRNGKey(seed)
+        imgs = jnp.zeros((1, n_ctx, h, w, 3))
+        acts = jnp.zeros((1, self.sequence_length - 1, self._hp['adim']))
+        states = jnp.zeros((1, n_ctx, self._hp['sdim']))
+        distribs = jnp.zeros((1, n_ctx, h, w,
+                              self._hp['designated_pixel_count']))
+        return self.model.init(key, imgs, acts, states, distribs)
+
+    def restore(self):
+        """Load per-camera params from model_path (orbax step dirs, one subdir
+        per view: ``view0/``, ``view1/`` …).  Missing checkpoints fall back to
+        randomly initialized params with a loud warning (useful for
+        benchmarking the compute path before training finishes)."""
+        template = self._init_params()
+        self.params = []
+        for c in range(self.n_cam):
+            view_dir = os.path.join(str(self._model_path), 'view{}'.format(c))
+            try:
+                params = checkpoints.restore_params(view_dir, template=template)
+                print('restored predictor params from {}'.format(view_dir))
+            except (FileNotFoundError, Exception) as e:  # noqa: B902
+                if isinstance(e, FileNotFoundError):
+                    print('WARNING: no checkpoint at {}; using random init'
+                          .format(view_dir))
+                    params = self._init_params(seed=c)
+                else:
+                    raise
+            self.params.append(params)
+        self._build_forward()
+        return self
+
+    def set_params(self, params_per_cam):
+        self.params = list(params_per_cam)
+        self._build_forward()
+        return self
+
+    def _build_forward(self):
+        model = self.model
+        n_ctx = self.n_context
+
+        @partial(jax.jit, static_argnums=())
+        def forward(params_list, images, states, distribs, actions, rng):
+            # images: (ncam, n_ctx, H, W, C); actions: (M, T, adim)
+            M = actions.shape[0]
+            gen_i, gen_d = [], []
+            for c, p in enumerate(params_list):
+                imgs = jnp.broadcast_to(images[c][None], (M,) + images[c].shape)
+                dstr = jnp.broadcast_to(distribs[c][None],
+                                        (M,) + distribs[c].shape)
+                sts = jnp.broadcast_to(states[None], (M,) + states.shape)
+                out = model.apply(p, imgs, actions, sts, dstr, rng=rng)
+                gen_i.append(out['gen_images'][:, n_ctx - 1:])
+                gen_d.append(out['gen_distribs'][:, n_ctx - 1:])
+            return jnp.stack(gen_i, axis=2), jnp.stack(gen_d, axis=2)
+
+        self._forward = forward
+
+    # -- reference calling convention ---------------------------------------------
+    def __call__(self, context, action_dict, rng=None):
+        """
+        :param context: dict with 'context_frames' (n_ctx, ncam, H, W, 3)
+            float [0,1] (or (1, n_ctx, ncam, ...)), 'context_actions'
+            (>= n_ctx-1, adim) — the executed actions, the last n_ctx-1 of
+            which fall between the context frames — 'context_states'
+            (n_ctx, sdim) and 'context_pixel_distributions'
+            (n_ctx, ncam, H, W, P)
+        :param action_dict: {'actions': (M, T_plan, adim)} candidate plans
+        :return: dict of numpy arrays 'predicted_frames'
+            (M, T', ncam, H, W, 3) and 'predicted_pixel_distributions'
+            (M, T', ncam, H, W, P)
+        """
+        if self.params is None:
+            raise RuntimeError('call restore() first')
+
+        frames = np.asarray(context['context_frames'], np.float32)
+        if frames.ndim == 6:
+            frames = frames[0]
+        distribs = np.asarray(context['context_pixel_distributions'], np.float32)
+        if distribs.ndim == 6:
+            distribs = distribs[0]
+        states = np.asarray(context['context_states'], np.float32)
+        if states.ndim == 3:
+            states = states[0]
+        states = states[-self.n_context:]
+
+        chosen = np.asarray(context.get('context_actions',
+                                        np.zeros((self.n_context - 1,
+                                                  self._hp['adim']))),
+                            np.float32)
+        ctx_actions = chosen[-(self.n_context - 1):] if self.n_context > 1 \
+            else chosen[:0]
+
+        # (n_ctx, ncam, ...) -> (ncam, n_ctx, ...)
+        frames_cam = np.swapaxes(frames[-self.n_context:], 0, 1)
+        distribs_cam = np.swapaxes(distribs[-self.n_context:], 0, 1)
+
+        actions = np.asarray(action_dict['actions'], np.float32)
+        M = actions.shape[0]
+        full_actions = np.concatenate(
+            [np.tile(ctx_actions[None], (M, 1, 1)), actions], axis=1)
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        gen_i, gen_d = self._forward(self.params, jnp.asarray(frames_cam),
+                                     jnp.asarray(states),
+                                     jnp.asarray(distribs_cam),
+                                     jnp.asarray(full_actions), rng)
+        return {
+            'predicted_frames': np.asarray(gen_i, np.float32),
+            'predicted_pixel_distributions': np.asarray(gen_d, np.float32),
+        }

@@ -1,0 +1,235 @@
+"""Video-predictor training.
+
+The reference does NOT train its predictor — it serves pretrained TF1
+SAVP/CDNA checkpoints from external repos (``README.md:5``).  This module
+internalizes training as a first-class subsystem: scheduled-sampling
+teacher forcing (Finn et al. 2016), L2+L1 reconstruction and state losses,
+optax Adam with warmup-cosine schedule, orbax checkpoints, and data-parallel
+scaling over a ``jax.sharding.Mesh`` (batch axis sharded; XLA inserts the
+gradient all-reduce over ICI).
+
+CLI::
+
+    python -m visual_foresight_tpu.training.train_predictor \
+        --data_dir <records dir> --model_dir <ckpt dir> [--steps N] ...
+"""
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from visual_foresight_tpu.models.cdna import CDNAPredictor
+from visual_foresight_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                replicate, replicated,
+                                                shard_batch)
+from visual_foresight_tpu.prediction import checkpoints
+
+
+def scheduled_sampling_mask(key, step, T, batch, n_context, k=900.0):
+    """Per-step probability of feeding ground truth; inverse-sigmoid decay
+    (Finn et al.'s schedule): p = k / (k + exp(step / k))."""
+    p = k / (k + jnp.exp(step / k))
+    rand = jax.random.uniform(key, (batch, T))
+    mask = (rand < p).astype(jnp.float32)
+    # context steps are always teacher-forced (step t consumes frame t)
+    ctx = (jnp.arange(T) < n_context).astype(jnp.float32)
+    return jnp.maximum(mask, ctx[None])
+
+
+def make_loss_fn(model, n_context, state_weight=1e-4, l1_weight=0.0):
+    def loss_fn(params, batch, rng, step):
+        images = batch['images']          # (B, T+1, H, W, C) float [0,1]
+        actions = batch['actions']        # (B, T, adim)
+        states = batch['states']          # (B, T+1, sdim)
+        B, Tp1 = images.shape[:2]
+        T = Tp1 - 1
+
+        rng_ss, rng_latent = jax.random.split(rng)
+        gt_mask = scheduled_sampling_mask(rng_ss, step, T, B, n_context)
+
+        out = model.apply(params, images, actions, states,
+                          distribs=None, rng=rng_latent, gt_mask=gt_mask)
+        pred = out['gen_images']          # (B, T, H, W, C) predicts frames 1..T
+        target = images[:, 1:]
+        l2 = jnp.mean(jnp.square(pred - target))
+        loss = l2
+        if l1_weight:
+            loss = loss + l1_weight * jnp.mean(jnp.abs(pred - target))
+        state_l2 = jnp.mean(jnp.square(out['gen_states'] - states[:, 1:]))
+        loss = loss + state_weight * state_l2
+
+        metrics = {'loss': loss, 'img_l2': l2, 'state_l2': state_l2,
+                   'psnr': -10.0 * jnp.log10(jnp.maximum(l2, 1e-10))}
+        return loss, metrics
+    return loss_fn
+
+
+def make_train_step(model, tx, n_context, **loss_kwargs):
+    loss_fn = make_loss_fn(model, n_context, **loss_kwargs)
+
+    def train_step(params, opt_state, batch, rng, step):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, step)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics['grad_norm'] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def build_model(args):
+    return CDNAPredictor(
+        n_context=args.context_frames, num_masks=args.num_masks,
+        kernel_size=args.cdna_kernel_size, sna=not args.no_sna,
+        latent_dim=args.latent_dim, num_distribs=0, sdim=args.sdim,
+        adim=args.adim,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+
+def init_params(model, args, seed=0):
+    key = jax.random.PRNGKey(seed)
+    h, w = args.image_height, args.image_width
+    imgs = jnp.zeros((1, args.context_frames, h, w, 3))
+    acts = jnp.zeros((1, args.sequence_length - 1, args.adim))
+    states = jnp.zeros((1, args.context_frames, args.sdim))
+    return model.init(key, imgs, acts, states)
+
+
+def synthetic_batches(args, seed=0):
+    """Deterministic synthetic data for smoke training (moving square)."""
+    rng = np.random.RandomState(seed)
+    h, w = args.image_height, args.image_width
+    T = args.sequence_length
+    while True:
+        imgs = np.zeros((args.batch_size, T, h, w, 3), np.float32)
+        actions = rng.uniform(-1, 1, (args.batch_size, T - 1,
+                                      args.adim)).astype(np.float32) * 0.5
+        states = np.zeros((args.batch_size, T, args.sdim), np.float32)
+        for b in range(args.batch_size):
+            r, c = rng.randint(2, h - 6), rng.randint(2, w - 6)
+            color = rng.rand(3)
+            for t in range(T):
+                imgs[b, t] = 0.1
+                imgs[b, t, r:r + 4, c:c + 4] = color
+                states[b, t, :2] = [r / h, c / w]
+                if t < T - 1:
+                    r = int(np.clip(r + round(actions[b, t, 0] * 4), 0, h - 5))
+                    c = int(np.clip(c + round(actions[b, t, 1 % args.adim] * 4),
+                                    0, w - 5))
+        yield {'images': imgs, 'actions': actions, 'states': states}
+
+
+def record_batches(args):
+    """Batches from collected TFRecords via the dataset reader."""
+    from visual_foresight_tpu.data.dataset_reader import BaseVideoDataset
+    ds = BaseVideoDataset(args.data_dir, args.batch_size)
+    for batch in ds.numpy_iterator(keys=('images', 'actions', 'state')):
+        images = batch['images'].astype(np.float32) / 255.0
+        cam = min(args.camera, images.shape[2] - 1)
+        yield {
+            'images': images[:, :args.sequence_length, cam],
+            'actions': batch['actions'][:, :args.sequence_length - 1]
+            .astype(np.float32),
+            'states': batch['state'][:, :args.sequence_length]
+            .astype(np.float32),
+        }
+
+
+def train(args):
+    model = build_model(args)
+    params = init_params(model, args)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print('model params:', n_params)
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=min(200, args.steps // 10 + 1),
+        decay_steps=max(args.steps, 2))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(schedule, weight_decay=1e-5))
+    opt_state = tx.init(params)
+
+    mesh = make_mesh(args.n_devices if args.n_devices > 0 else None)
+    bsh = batch_sharding(mesh)
+    rsh = replicated(mesh)
+
+    train_step = jax.jit(
+        make_train_step(model, tx, args.context_frames,
+                        state_weight=args.state_weight,
+                        l1_weight=args.l1_weight),
+        in_shardings=(rsh, rsh, bsh, rsh, rsh),
+        out_shardings=(rsh, rsh, rsh),
+        donate_argnums=(0, 1))
+
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
+
+    batches = record_batches(args) if args.data_dir else synthetic_batches(args)
+    rng = jax.random.PRNGKey(args.seed)
+
+    t0 = time.time()
+    history = []
+    for step in range(args.steps):
+        batch = next(batches)
+        batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+        rng, sub = jax.random.split(rng)
+        sub = jax.device_put(sub, rsh)
+        params, opt_state, metrics = train_step(
+            params, opt_state, batch, sub, jnp.asarray(step, jnp.float32))
+        if step % args.log_every == 0 or step == args.steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m['step'] = step
+            m['sec'] = round(time.time() - t0, 1)
+            history.append(m)
+            print(json.dumps(m))
+        if args.model_dir and args.ckpt_every and \
+                step > 0 and step % args.ckpt_every == 0:
+            checkpoints.save_params(jax.device_get(params),
+                                    os.path.join(args.model_dir, 'view0'), step)
+
+    if args.model_dir:
+        path = checkpoints.save_params(
+            jax.device_get(params), os.path.join(args.model_dir, 'view0'),
+            args.steps)
+        print('saved final checkpoint to', path)
+    return history, params
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description='train the CDNA video predictor')
+    p.add_argument('--data_dir', type=str, default='',
+                   help='TFRecords dir (default: synthetic data)')
+    p.add_argument('--model_dir', type=str, default='')
+    p.add_argument('--steps', type=int, default=1000)
+    p.add_argument('--batch_size', type=int, default=16)
+    p.add_argument('--lr', type=float, default=1e-3)
+    p.add_argument('--sequence_length', type=int, default=15)
+    p.add_argument('--context_frames', type=int, default=2)
+    p.add_argument('--image_height', type=int, default=48)
+    p.add_argument('--image_width', type=int, default=64)
+    p.add_argument('--adim', type=int, default=3)
+    p.add_argument('--sdim', type=int, default=3)
+    p.add_argument('--num_masks', type=int, default=10)
+    p.add_argument('--cdna_kernel_size', type=int, default=5)
+    p.add_argument('--latent_dim', type=int, default=0)
+    p.add_argument('--no_sna', action='store_true')
+    p.add_argument('--bf16', action='store_true')
+    p.add_argument('--state_weight', type=float, default=1e-4)
+    p.add_argument('--l1_weight', type=float, default=0.0)
+    p.add_argument('--camera', type=int, default=0)
+    p.add_argument('--n_devices', type=int, default=-1)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--log_every', type=int, default=20)
+    p.add_argument('--ckpt_every', type=int, default=0)
+    return p
+
+
+if __name__ == '__main__':
+    train(build_argparser().parse_args())
