@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from visual_foresight_tpu.models.layers import ConvLSTMCell, LayerNorm
-from visual_foresight_tpu.ops.cdna_warp import cdna_warp, dna_warp, normalize_kernels
+from visual_foresight_tpu.ops.cdna_warp import (dna_warp,
+                                                effective_pixel_kernels,
+                                                normalize_kernels)
 
 
 class CDNAStep(nn.Module):
@@ -108,14 +110,17 @@ class CDNAStep(nn.Module):
                         name='mask_head')(dec3)
         masks = jax.nn.softmax(masks.astype(jnp.float32), axis=-1)
 
+        # Collapse kernels + masks into one per-pixel effective kernel field —
+        # compositing is linear, so this is exact and avoids materializing the
+        # (B,H,W,C,M) candidate tensor (dominant HBM traffic at 48x64).
+        offset = 2 if self.sna else 1
         prev_f32 = prev_img.astype(jnp.float32)
         if self.dna:
             pk = nn.Conv(self.kernel_size ** 2, (1, 1), dtype=self.dtype,
                          name='dna_head')(dec3)
             pk = jax.nn.relu(pk.astype(jnp.float32) - 1e-12) + 1e-12
             pk = pk / jnp.sum(pk, -1, keepdims=True)
-            transformed = dna_warp(prev_f32, pk)[..., None]   # (B,H,W,C,1)
-            kernels = None
+            eff_kernels = pk * jnp.sum(masks[..., offset:], -1, keepdims=True)
         else:
             flat = h3.astype(jnp.float32).reshape(b, -1)
             raw = nn.Dense(self.num_masks * self.kernel_size ** 2,
@@ -123,16 +128,13 @@ class CDNAStep(nn.Module):
             kernels = normalize_kernels(
                 raw.reshape(b, self.kernel_size, self.kernel_size,
                             self.num_masks))
-            transformed = cdna_warp(prev_f32, kernels)        # (B,H,W,C,M)
+            eff_kernels = effective_pixel_kernels(kernels, masks, offset)
 
-        offset = 2 if self.sna else 1
         gen_image = prev_f32 * masks[..., 0:1]
         if self.sna:
             gen_image = gen_image + \
                 first_image.astype(jnp.float32) * masks[..., 1:2]
-        gen_image = gen_image + jnp.einsum(
-            'bhwcm,bhwm->bhwc', transformed, masks[..., offset:],
-            preferred_element_type=jnp.float32)
+        gen_image = gen_image + dna_warp(prev_f32, eff_kernels)
 
         gen_distrib = prev_distrib
         if self.num_distribs:
@@ -140,14 +142,7 @@ class CDNAStep(nn.Module):
             gd = pd * masks[..., 0:1]
             if self.sna:
                 gd = gd + first_distrib.astype(jnp.float32) * masks[..., 1:2]
-            if self.dna:
-                gd = gd + dna_warp(pd, pk) * jnp.sum(masks[..., offset:], -1,
-                                                     keepdims=True)
-            else:
-                warped_pd = cdna_warp(pd, kernels)            # (B,H,W,P,M)
-                gd = gd + jnp.einsum('bhwpm,bhwm->bhwp', warped_pd,
-                                     masks[..., offset:],
-                                     preferred_element_type=jnp.float32)
+            gd = gd + dna_warp(pd, eff_kernels)
             total = jnp.sum(gd, axis=(1, 2), keepdims=True)
             gen_distrib = gd / jnp.maximum(total, 1e-12)
 

@@ -73,6 +73,31 @@ def cdna_warp(images, kernels):
     return out.astype(images.dtype)
 
 
+def effective_pixel_kernels(kernels, masks, mask_offset):
+    """Collapse per-sample CDNA kernels and compositing masks into per-pixel
+    effective kernels.
+
+    Because compositing is linear, ``sum_m mask_m * (k_m corr I) ==
+    (sum_m mask_m * k_m) corr I`` pointwise — so instead of materializing M
+    warped candidate frames (the (B,H,W,C,M) tensor dominates HBM traffic at
+    48x64), we contract masks against kernels FIRST, producing a (B,H,W,KK)
+    per-pixel kernel field that warps the frame AND the pixel distributions in
+    one cheap pass.  This is the single biggest memory-traffic optimization in
+    the predictor step.
+
+    :param kernels: (B, K, K, M) normalized CDNA kernels
+    :param masks: (B, H, W, num_candidates) softmax masks
+    :param mask_offset: index of the first transform mask (1, or 2 with SNA)
+    :return: (B, H, W, K*K) effective kernels (NOT normalized per pixel —
+        their per-pixel sum equals the total transform-mask weight, which is
+        exactly the compositing semantics)
+    """
+    b, ksize = kernels.shape[0], kernels.shape[1]
+    kflat = kernels.reshape(b, ksize * ksize, kernels.shape[3])
+    return jnp.einsum('bkm,bhwm->bhwk', kflat, masks[..., mask_offset:],
+                      preferred_element_type=jnp.float32)
+
+
 def dna_warp(images, pixel_kernels):
     """DNA variant: a distinct kernel per output pixel.
 

@@ -37,7 +37,8 @@ class FusedCEMPlanner:
     :param rejection_rounds: bounded rejection-resample rounds (0 = off)
     :param action_bound: clip xy/theta after sampling
     :param cost_fn: optional override mapping (gen_images, gen_distribs,
-        cost_ctx) -> (M,) scores; defaults to expected pixel distance
+        cost_ctx) -> (M,) scores; defaults to expected pixel distance with
+        cost_ctx = the (ncam, P, H, W) goal distance grids
     :param n_vis: how many elite rollouts to return for visualization
     """
 
@@ -84,7 +85,7 @@ class FusedCEMPlanner:
         return (jnp.stack(gen_images, axis=2), jnp.stack(gen_distribs, axis=2))
 
     def _replan(self, params, key, context_images, context_states,
-                context_distribs, context_actions, dist_grids, mean, sigma):
+                context_distribs, context_actions, cost_ctx, mean, sigma):
         """One full replan.
 
         :param context_images: (ncam, n_ctx, H, W, C) float [0,1]
@@ -92,7 +93,8 @@ class FusedCEMPlanner:
         :param context_distribs: (ncam, n_ctx, H, W, P)
         :param context_actions: (n_ctx - 1, adim) actions already executed
             between the context frames (prepended to every candidate plan)
-        :param dist_grids: (ncam, P, H, W)
+        :param cost_ctx: cost context pytree (distance grids for the default
+            pixel cost; a goal image, classifier params, ... for overrides)
         :param mean/sigma: current sampling distribution (flattened plan)
         :return: dict with best actions, scores, refit mean/sigma, vis tensors
         """
@@ -116,10 +118,10 @@ class FusedCEMPlanner:
                 full_actions, k_model)
 
             if self._cost_fn is not None:
-                scores = self._cost_fn(gen_images, gen_distribs)
+                scores = self._cost_fn(gen_images, gen_distribs, cost_ctx)
             else:
                 scores = cost_lib.expected_pixel_distance(
-                    gen_distribs, dist_grids, self._finalweight,
+                    gen_distribs, cost_ctx, self._finalweight,
                     normalize=True, only_first_view=self._ofv)
 
             neg_top, elite_idx = jax.lax.top_k(-scores, K)
@@ -150,10 +152,10 @@ class FusedCEMPlanner:
 
     # -- public -----------------------------------------------------------------------
     def replan(self, params, key, context_images, context_states,
-               context_distribs, context_actions, dist_grids, mean, sigma):
+               context_distribs, context_actions, cost_ctx, mean, sigma):
         """Run the jitted replan; returns the result dict of device arrays."""
         return self._replan_jit(params, key, context_images, context_states,
-                                context_distribs, context_actions, dist_grids,
+                                context_distribs, context_actions, cost_ctx,
                                 mean, sigma)
 
     @property
