@@ -53,11 +53,15 @@ class CDNAStep(nn.Module):
         action, gt_image, gt_distrib, gt_state, use_gt = x
 
         # teacher forcing / scheduled sampling: pick the network input
-        use_img = use_gt[:, None, None, None]
-        prev_img = use_img * gt_image + (1.0 - use_img) * prev_img
-        prev_state = use_gt[:, None] * gt_state + (1.0 - use_gt[:, None]) * prev_state
+        use_img = use_gt[:, None, None, None].astype(prev_img.dtype)
+        prev_img = use_img * gt_image.astype(prev_img.dtype) + \
+            (1.0 - use_img) * prev_img
+        prev_state = use_gt[:, None] * gt_state + \
+            (1.0 - use_gt[:, None]) * prev_state
         if self.num_distribs:
-            prev_distrib = use_img * gt_distrib + (1.0 - use_img) * prev_distrib
+            prev_distrib = use_img.astype(prev_distrib.dtype) * \
+                gt_distrib.astype(prev_distrib.dtype) + \
+                (1.0 - use_img).astype(prev_distrib.dtype) * prev_distrib
 
         f1, f2, f3 = self.enc_features
         conv = lambda feat, k, s, name: nn.Conv(
@@ -112,15 +116,18 @@ class CDNAStep(nn.Module):
 
         # Collapse kernels + masks into one per-pixel effective kernel field —
         # compositing is linear, so this is exact and avoids materializing the
-        # (B,H,W,C,M) candidate tensor (dominant HBM traffic at 48x64).
+        # (B,H,W,C,M) candidate tensor (dominant HBM traffic at 48x64).  All
+        # full-resolution tensors stay in the compute dtype; only kernel/mask
+        # normalizations and the distribution renorm accumulate in f32.
         offset = 2 if self.sna else 1
-        prev_f32 = prev_img.astype(jnp.float32)
+        prev_c = prev_img.astype(self.dtype)
         if self.dna:
             pk = nn.Conv(self.kernel_size ** 2, (1, 1), dtype=self.dtype,
                          name='dna_head')(dec3)
             pk = jax.nn.relu(pk.astype(jnp.float32) - 1e-12) + 1e-12
             pk = pk / jnp.sum(pk, -1, keepdims=True)
-            eff_kernels = pk * jnp.sum(masks[..., offset:], -1, keepdims=True)
+            eff_kernels = (pk * jnp.sum(masks[..., offset:], -1,
+                                        keepdims=True)).astype(self.dtype)
         else:
             flat = h3.astype(jnp.float32).reshape(b, -1)
             raw = nn.Dense(self.num_masks * self.kernel_size ** 2,
@@ -128,23 +135,26 @@ class CDNAStep(nn.Module):
             kernels = normalize_kernels(
                 raw.reshape(b, self.kernel_size, self.kernel_size,
                             self.num_masks))
-            eff_kernels = effective_pixel_kernels(kernels, masks, offset)
+            eff_kernels = effective_pixel_kernels(
+                kernels, masks, offset).astype(self.dtype)
 
-        gen_image = prev_f32 * masks[..., 0:1]
+        masks_c = masks.astype(self.dtype)
+        gen_image = prev_c * masks_c[..., 0:1]
         if self.sna:
             gen_image = gen_image + \
-                first_image.astype(jnp.float32) * masks[..., 1:2]
-        gen_image = gen_image + dna_warp(prev_f32, eff_kernels)
+                first_image.astype(self.dtype) * masks_c[..., 1:2]
+        gen_image = gen_image + dna_warp(prev_c, eff_kernels)
 
         gen_distrib = prev_distrib
         if self.num_distribs:
-            pd = prev_distrib.astype(jnp.float32)
-            gd = pd * masks[..., 0:1]
+            pd = prev_distrib.astype(self.dtype)
+            gd = pd * masks_c[..., 0:1]
             if self.sna:
-                gd = gd + first_distrib.astype(jnp.float32) * masks[..., 1:2]
+                gd = gd + first_distrib.astype(self.dtype) * masks_c[..., 1:2]
             gd = gd + dna_warp(pd, eff_kernels)
-            total = jnp.sum(gd, axis=(1, 2), keepdims=True)
-            gen_distrib = gd / jnp.maximum(total, 1e-12)
+            total = jnp.sum(gd.astype(jnp.float32), axis=(1, 2), keepdims=True)
+            gen_distrib = (gd.astype(jnp.float32) /
+                           jnp.maximum(total, 1e-12)).astype(self.dtype)
 
         state_delta = nn.Dense(self.sdim, name='state_head')(
             sa.astype(jnp.float32))
@@ -207,10 +217,10 @@ class CDNAPredictor(nn.Module):
             zeros = jnp.zeros((x.shape[0], pad) + x.shape[2:], x.dtype)
             return jnp.concatenate([x, zeros], axis=1)
 
-        gt_images = pad_time(images.astype(jnp.float32), T)
+        gt_images = pad_time(images.astype(self.dtype), T)
         gt_states = pad_time(states.astype(jnp.float32), T)
-        gt_distribs = pad_time(distribs.astype(jnp.float32), T) \
-            if self.num_distribs else jnp.zeros((b, T, 0))
+        gt_distribs = pad_time(distribs.astype(self.dtype), T) \
+            if self.num_distribs else jnp.zeros((b, T, 0), self.dtype)
 
         if gt_mask is None:
             # plan mode: teacher-force while context frames remain (step t
@@ -238,9 +248,9 @@ class CDNAPredictor(nn.Module):
             ConvLSTMCell.initial_state(b, h // 2, w // 2, f1, self.dtype),
         )
 
-        first_image = images[:, 0].astype(jnp.float32)
-        first_distrib = distribs[:, 0].astype(jnp.float32) \
-            if self.num_distribs else jnp.zeros((b, h, w, 0))
+        first_image = images[:, 0].astype(self.dtype)
+        first_distrib = distribs[:, 0].astype(self.dtype) \
+            if self.num_distribs else jnp.zeros((b, h, w, 0), self.dtype)
 
         init_carry = (lstm_states, first_image,
                       first_distrib, states[:, 0].astype(jnp.float32),
@@ -250,7 +260,7 @@ class CDNAPredictor(nn.Module):
             jnp.swapaxes(actions.astype(jnp.float32), 0, 1),   # (T,B,adim)
             jnp.swapaxes(gt_images, 0, 1),
             jnp.swapaxes(gt_distribs, 0, 1) if self.num_distribs
-            else jnp.zeros((T, b, 0)),
+            else jnp.zeros((T, b, 0), self.dtype),
             jnp.swapaxes(gt_states, 0, 1),
             jnp.swapaxes(gt_mask, 0, 1),                        # (T,B)
         )
@@ -269,9 +279,10 @@ class CDNAPredictor(nn.Module):
         _, (imgs_tm, distribs_tm, states_tm) = step(init_carry, xs)
 
         result = {
-            'gen_images': jnp.swapaxes(imgs_tm, 0, 1),
-            'gen_states': jnp.swapaxes(states_tm, 0, 1),
+            'gen_images': jnp.swapaxes(imgs_tm, 0, 1).astype(jnp.float32),
+            'gen_states': jnp.swapaxes(states_tm, 0, 1).astype(jnp.float32),
         }
         if self.num_distribs:
-            result['gen_distribs'] = jnp.swapaxes(distribs_tm, 0, 1)
+            result['gen_distribs'] = jnp.swapaxes(
+                distribs_tm, 0, 1).astype(jnp.float32)
         return result

@@ -46,13 +46,12 @@ class ConvLSTMCell(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm over the channel axis with float32 statistics regardless of
-    compute dtype (bf16-safe)."""
+    """LayerNorm over the channel axis.  Statistics accumulate in float32
+    internally (flax upcasts for the reduction) while inputs/outputs stay in
+    the compute dtype — avoids materializing full-resolution f32 copies."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        y = nn.LayerNorm(dtype=jnp.float32, name='ln')(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
+        return nn.LayerNorm(dtype=x.dtype, name='ln')(x)
