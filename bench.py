@@ -7,6 +7,13 @@ visual-MPC configuration (``cem_base_controller.py:53-55``,
 (p50 latency <= 50 ms).  The whole replan (Gaussian sampling, conv-LSTM CDNA
 rollout of all samples, pixel cost, top-K, refit) is one jitted program.
 
+Measurement notes: this box reaches its TPU through an RPC tunnel whose
+~25-30 ms round trip dwarfs the on-chip time, and async dispatch means
+``block_until_ready`` does not reflect device completion.  The primary
+number therefore CHAINS ``CHAIN`` replans inside one jitted program (each
+consuming the previous refit mean/sigma — a true sequential MPC dependency)
+and fetches once: per-replan latency = (total - tunnel RTT) / CHAIN.
+
 Prints ONE json line:
   {"metric": "cem_replan_hz_p50", "value": N, "unit": "Hz", "vs_baseline": N/20}
 """
@@ -31,6 +38,7 @@ def main():
     M, ITERS, NACT, REPEAT = 200, 3, 5, 3
     T = NACT * REPEAT  # 15
     N_CTX = 2
+    CHAIN = 20
 
     predictor = TPUPredictor('', {
         'designated_pixel_count': P, 'run_batch_size': M,
@@ -54,31 +62,64 @@ def main():
     ctx_distribs = jnp.zeros((NCAM, N_CTX, H, W, P)).at[:, :, 24, 32, 0].set(1.0)
     ctx_actions = jnp.zeros((N_CTX - 1, 3))
     grids = cost_lib.distance_grid(jnp.asarray([[[10.0, 50.0]]]), H, W)
-    mean, sigma = initial_mean(spec), initial_sigma(spec)
+    mean0, sigma0 = initial_mean(spec), initial_sigma(spec)
+    params = predictor.params
 
-    key = jax.random.PRNGKey(0)
+    # ---- tunnel RTT baseline (fetch of a trivial op) --------------------------
+    trivial = jax.jit(lambda x: x * 2 + 1)
+    np.asarray(trivial(jnp.ones((8, 128))))
+    rtts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(trivial(jnp.ones((8, 128))))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.percentile(rtts, 50))
 
-    def run(k):
-        out = planner.replan(predictor.params, k, ctx_images, ctx_states,
-                             ctx_distribs, ctx_actions, grids, mean, sigma)
-        jax.block_until_ready(out['best_actions'])
-        return out
+    # ---- chained replans: one program, sequential data dependency --------------
+    def chained(params, key, mean, sigma):
+        def body(carry, _):
+            key, mean, sigma = carry
+            key, sub = jax.random.split(key)
+            out = planner._replan(params, sub, ctx_images, ctx_states,
+                                  ctx_distribs, ctx_actions, grids, mean,
+                                  sigma)
+            # warm-start the next replan from this one's refit distribution
+            # (blend back toward the prior so the chain stays well-conditioned)
+            new_mean = 0.5 * out['mean']
+            new_sigma = 0.5 * out['sigma'] + 0.5 * sigma0
+            return (key, new_mean, new_sigma), out['best_actions'][0, 0, 0]
+        (_, _, _), probe = jax.lax.scan(
+            body, (key, mean, sigma), None, length=CHAIN)
+        return probe
 
-    # warmup / compile
+    chained_jit = jax.jit(chained)
     t0 = time.time()
-    run(key)
+    np.asarray(chained_jit(params, jax.random.PRNGKey(0), mean0, sigma0))
     compile_s = time.time() - t0
 
-    times = []
-    for i in range(30):
+    totals = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(5):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        run(sub)
-        times.append(time.perf_counter() - t0)
+        np.asarray(chained_jit(params, sub, mean0, sigma0))
+        totals.append(time.perf_counter() - t0)
+    total_p50 = float(np.percentile(totals, 50))
+    per_replan = max(total_p50 - rtt, 1e-6) / CHAIN
+    hz = 1.0 / per_replan
 
-    p50 = float(np.percentile(times, 50))
-    hz = 1.0 / p50
-    frames_per_sec = M * T * NCAM * ITERS / p50
+    # ---- single-shot replan (includes one tunnel round trip) --------------------
+    out = planner.replan(params, jax.random.PRNGKey(2), ctx_images, ctx_states,
+                         ctx_distribs, ctx_actions, grids, mean0, sigma0)
+    np.asarray(out['best_scores'])
+    singles = []
+    for i in range(10):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        out = planner.replan(params, sub, ctx_images, ctx_states, ctx_distribs,
+                             ctx_actions, grids, mean0, sigma0)
+        np.asarray(out['best_scores'])
+        singles.append(time.perf_counter() - t0)
 
     print(json.dumps({
         'metric': 'cem_replan_hz_p50',
@@ -86,12 +127,17 @@ def main():
         'unit': 'Hz',
         'vs_baseline': round(hz / 20.0, 3),
         'extra': {
-            'p50_ms': round(p50 * 1e3, 2),
-            'p90_ms': round(float(np.percentile(times, 90)) * 1e3, 2),
-            'predicted_frames_per_sec': round(frames_per_sec),
+            'per_replan_ms_device': round(per_replan * 1e3, 2),
+            'chain_total_ms': round(total_p50 * 1e3, 1),
+            'chain_len': CHAIN,
+            'tunnel_rtt_ms': round(rtt * 1e3, 2),
+            'single_shot_ms_incl_rtt': round(
+                float(np.percentile(singles, 50)) * 1e3, 2),
+            'predicted_frames_per_sec': round(M * T * NCAM * ITERS / per_replan),
             'compile_s': round(compile_s, 1),
             'device': str(jax.devices()[0]),
-            'config': '200 samples x 15 steps x 48x64, 3 CEM iters',
+            'config': '200 samples x 15 steps x 48x64, 3 CEM iters, '
+                      'separable conv-LSTM flagship',
         },
     }))
 

@@ -140,3 +140,39 @@ def test_fused_planner_finds_goal_directed_plan():
     assert best[0] <= scores[-1].mean()
     assert result['best_actions'].shape == (6, 6, 3)
     assert np.all(np.diff(best) >= -1e-5)   # sorted ascending
+
+
+def test_fused_planner_sharded_over_mesh():
+    """Sample axis sharded over the 8-device CPU mesh produces the same
+    semantics (scores/top-k/refit) as the unsharded planner program."""
+    from visual_foresight_tpu.models.cdna import CDNAPredictor
+    from visual_foresight_tpu.parallel.mesh import make_mesh
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+
+    model = CDNAPredictor(n_context=2, num_masks=4, num_distribs=1, sdim=3,
+                          adim=3, enc_features=(8, 16, 32))
+    spec = make_action_spec(HP, 3)
+    key = jax.random.PRNGKey(0)
+    H, W = 16, 24
+    imgs = jax.random.uniform(key, (1, 2, H, W, 3))
+    states = jnp.zeros((1, 2, 3))
+    distribs = jnp.zeros((1, 2, H, W, 1)).at[:, :, 8, 12, 0].set(1.0)
+    params = model.init(key, imgs, jnp.zeros((1, 7, 3)), states, distribs)
+
+    mesh = make_mesh(8)
+    grids = cost_lib.distance_grid(jnp.asarray([[[4.0, 20.0]]]), H, W)
+
+    def run(planner):
+        return planner.replan(
+            [params], jax.random.PRNGKey(3), imgs[0][None][0][None],
+            states[0], distribs[0][None][0][None], jnp.zeros((1, 3)), grids,
+            initial_mean(spec), initial_sigma(spec))
+
+    sharded = run(FusedCEMPlanner(model, spec, num_samples=16, iterations=2,
+                                  k_elite=4, n_vis=2, mesh=mesh))
+    plain = run(FusedCEMPlanner(model, spec, num_samples=16, iterations=2,
+                                k_elite=4, n_vis=2))
+    assert np.allclose(np.asarray(sharded['best_scores']),
+                       np.asarray(plain['best_scores']), atol=1e-4)
+    assert np.allclose(np.asarray(sharded['best_actions']),
+                       np.asarray(plain['best_actions']), atol=1e-5)

@@ -45,6 +45,8 @@ class CDNAStep(nn.Module):
     sdim: int = 3
     dtype: Any = jnp.float32
     enc_features: Tuple[int, int, int] = (32, 64, 128)
+    lstm_kernel: int = 5
+    separable_lstm: bool = False
 
     @nn.compact
     def __call__(self, carry, x):
@@ -71,16 +73,20 @@ class CDNAStep(nn.Module):
             feat, (3, 3), strides=(2, 2), padding='SAME', dtype=self.dtype,
             name=name)
 
+        lstm = lambda feat, name: ConvLSTMCell(
+            feat, (self.lstm_kernel, self.lstm_kernel), dtype=self.dtype,
+            separable=self.separable_lstm, name=name)
+
         (s1, s2, s3, s4, s5) = lstm_states
 
         enc0 = conv(f1, 5, 2, 'enc0')(prev_img.astype(self.dtype))     # H/2
         enc0 = LayerNorm(name='ln0')(enc0)
 
-        s1, h1 = ConvLSTMCell(f1, dtype=self.dtype, name='lstm1')(s1, enc0)
+        s1, h1 = lstm(f1, 'lstm1')(s1, enc0)
         h1 = LayerNorm(name='ln1')(h1)
 
         enc1 = conv(f2, 3, 2, 'enc1')(h1)                               # H/4
-        s2, h2 = ConvLSTMCell(f2, dtype=self.dtype, name='lstm2')(s2, enc1)
+        s2, h2 = lstm(f2, 'lstm2')(s2, enc1)
         h2 = LayerNorm(name='ln2')(h2)
 
         enc2 = conv(f3, 3, 2, 'enc2')(h2)                               # H/8
@@ -91,16 +97,16 @@ class CDNAStep(nn.Module):
                          (1, enc2.shape[1], enc2.shape[2], 1))
         enc3 = conv(f3, 1, 1, 'enc3')(jnp.concatenate([enc2, smear], axis=-1))
 
-        s3, h3 = ConvLSTMCell(f3, dtype=self.dtype, name='lstm3')(s3, enc3)
+        s3, h3 = lstm(f3, 'lstm3')(s3, enc3)
         h3 = LayerNorm(name='ln3')(h3)
 
         dec1 = deconv(f2, 'dec1')(h3)                                   # H/4
-        s4, h4 = ConvLSTMCell(f2, dtype=self.dtype, name='lstm4')(
+        s4, h4 = lstm(f2, 'lstm4')(
             s4, jnp.concatenate([dec1, enc1], axis=-1))
         h4 = LayerNorm(name='ln4')(h4)
 
         dec2 = deconv(f1, 'dec2')(h4)                                   # H/2
-        s5, h5 = ConvLSTMCell(f1, dtype=self.dtype, name='lstm5')(
+        s5, h5 = lstm(f1, 'lstm5')(
             s5, jnp.concatenate([dec2, enc0], axis=-1))
         h5 = LayerNorm(name='ln5')(h5)
 
@@ -198,6 +204,8 @@ class CDNAPredictor(nn.Module):
     adim: int = 3
     dtype: Any = jnp.float32
     enc_features: Tuple[int, int, int] = (32, 64, 128)
+    lstm_kernel: int = 5
+    separable_lstm: bool = False
 
     @nn.compact
     def __call__(self, images, actions, states=None, distribs=None, rng=None,
@@ -275,7 +283,9 @@ class CDNAPredictor(nn.Module):
                            kernel_size=self.kernel_size, sna=self.sna,
                            dna=self.dna, num_distribs=self.num_distribs,
                            sdim=self.sdim, dtype=self.dtype,
-                           enc_features=self.enc_features, name='step')
+                           enc_features=self.enc_features,
+                           lstm_kernel=self.lstm_kernel,
+                           separable_lstm=self.separable_lstm, name='step')
         _, (imgs_tm, distribs_tm, states_tm) = step(init_carry, xs)
 
         result = {

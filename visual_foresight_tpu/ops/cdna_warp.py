@@ -34,6 +34,16 @@ def normalize_kernels(raw_kernels):
     return k / norm
 
 
+def _exact_precision(dtype):
+    """Patch extraction / warp contractions must not silently round inputs:
+    TPU default precision computes f32 convs in bf16, so f32 inputs need
+    HIGHEST; bf16 inputs are already exact at DEFAULT (and HIGHEST would
+    force an f32 upcast of the big patch tensors — measured as the single
+    largest HBM-traffic op in the predictor step)."""
+    return lax.Precision.HIGHEST if dtype == jnp.float32 else \
+        lax.Precision.DEFAULT
+
+
 def extract_patches(images, ksize):
     """(B, H, W, C) -> (B, H, W, C, ksize*ksize) patches with SAME padding.
 
@@ -47,7 +57,7 @@ def extract_patches(images, ksize):
         window_strides=(1, 1),
         padding='SAME',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        precision=lax.Precision.HIGHEST,
+        precision=_exact_precision(images.dtype),
     )  # (B, H, W, C*K*K), ordered [c, kh, kw]
     return patches.reshape(b, h, w, c, ksize * ksize)
 
@@ -69,7 +79,7 @@ def cdna_warp(images, kernels):
     # batched contraction over KK -> MXU
     out = jnp.einsum('bhwck,bkm->bhwcm', patches, kflat,
                      preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
+                     precision=_exact_precision(patches.dtype))
     return out.astype(images.dtype)
 
 
@@ -109,7 +119,7 @@ def dna_warp(images, pixel_kernels):
     patches = extract_patches(images, ksize)                # (B,H,W,C,KK)
     out = jnp.einsum('bhwck,bhwk->bhwc', patches, pixel_kernels,
                      preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
+                     precision=_exact_precision(patches.dtype))
     return out.astype(images.dtype)
 
 

@@ -47,7 +47,7 @@ class FusedCEMPlanner:
                  finalweight: float = 10.0, rejection_rounds: int = 0,
                  action_bound: bool = True, only_first_view: bool = False,
                  cost_fn=None, n_vis: int = 10, blockdiag_refit: bool = False,
-                 donate_dist: bool = True):
+                 donate_dist: bool = True, mesh=None):
         self._model = model
         self._spec = spec
         self._M = num_samples
@@ -60,6 +60,19 @@ class FusedCEMPlanner:
         self._cost_fn = cost_fn
         self._n_vis = min(n_vis, num_samples)
         self._blockdiag = blockdiag_refit
+        # Multi-chip: shard the sample axis over the mesh.  A single sharding
+        # constraint on the sampled plans is enough — XLA propagates the
+        # partitioning through the rollout and inserts an all-gather of the
+        # (M,)-sized scores before top_k (KB-scale, rides ICI).
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = mesh.axis_names[0]
+            self._plan_sharding = NamedSharding(mesh, PartitionSpec(axis))
+            assert num_samples % mesh.size == 0, \
+                'num_samples must divide the mesh size'
+        else:
+            self._plan_sharding = None
         self._replan_jit = jax.jit(self._replan)
 
     # -- core program --------------------------------------------------------------
@@ -109,6 +122,9 @@ class FusedCEMPlanner:
             plan = sample_actions(k_sample, mean, sigma, spec, M,
                                   rejection_rounds=self._rej,
                                   action_bound=self._bound)        # (M,T,adim)
+            if self._plan_sharding is not None:
+                plan = jax.lax.with_sharding_constraint(
+                    plan, self._plan_sharding)
             full_actions = jnp.concatenate(
                 [jnp.broadcast_to(context_actions[None],
                                   (M,) + context_actions.shape), plan], axis=1)

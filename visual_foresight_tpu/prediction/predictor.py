@@ -45,6 +45,11 @@ DEFAULT_HPARAMS = {
     'dna': False,
     'latent_dim': 0,            # >0 for the stochastic (SAVP-style) variant
     'dtype': 'bfloat16',        # compute dtype on TPU
+    # flagship TPU configuration: depthwise-separable conv-LSTM gates (the
+    # dense 5x5 gates are ~90% of model FLOPs and bound replan latency; set
+    # False for strict Finn-CDNA architectural parity)
+    'separable_lstm': True,
+    'lstm_kernel': 5,
 }
 
 
@@ -69,6 +74,8 @@ class TPUPredictor:
             latent_dim=hp['latent_dim'],
             num_distribs=hp['designated_pixel_count'],
             sdim=hp['sdim'], adim=hp['adim'], dtype=dtype,
+            lstm_kernel=hp['lstm_kernel'],
+            separable_lstm=hp['separable_lstm'],
             **(model_kwargs or {}))
 
         self.params = None          # list: one pytree per camera

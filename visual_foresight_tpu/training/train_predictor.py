@@ -90,7 +90,8 @@ def build_model(args):
         n_context=args.context_frames, num_masks=args.num_masks,
         kernel_size=args.cdna_kernel_size, sna=not args.no_sna,
         latent_dim=args.latent_dim, num_distribs=0, sdim=args.sdim,
-        adim=args.adim,
+        adim=args.adim, lstm_kernel=args.lstm_kernel,
+        separable_lstm=args.separable_lstm,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
 
@@ -219,6 +220,8 @@ def build_argparser():
     p.add_argument('--num_masks', type=int, default=10)
     p.add_argument('--cdna_kernel_size', type=int, default=5)
     p.add_argument('--latent_dim', type=int, default=0)
+    p.add_argument('--lstm_kernel', type=int, default=5)
+    p.add_argument('--separable_lstm', action='store_true', default=False)
     p.add_argument('--no_sna', action='store_true')
     p.add_argument('--bf16', action='store_true')
     p.add_argument('--state_weight', type=float, default=1e-4)
