@@ -34,6 +34,14 @@ from visual_foresight_tpu.ops.cdna_warp import (dna_warp,
                                                 normalize_kernels)
 
 
+def _pallas_block(batch):
+    """Largest divisor of batch that is <= 8 (pallas grid block size)."""
+    for cand in (8, 5, 4, 2, 1):
+        if batch % cand == 0:
+            return cand
+    return 1
+
+
 class CDNAStep(nn.Module):
     """One prediction step with nn.scan-compatible (carry, x) signature."""
 
@@ -47,6 +55,7 @@ class CDNAStep(nn.Module):
     enc_features: Tuple[int, int, int] = (32, 64, 128)
     lstm_kernel: int = 5
     separable_lstm: bool = False
+    use_pallas_warp: bool = False   # fused VMEM warp kernel (TPU only)
 
     @nn.compact
     def __call__(self, carry, x):
@@ -127,6 +136,7 @@ class CDNAStep(nn.Module):
         # normalizations and the distribution renorm accumulate in f32.
         offset = 2 if self.sna else 1
         prev_c = prev_img.astype(self.dtype)
+        eff_kernels, kernels = None, None
         if self.dna:
             pk = nn.Conv(self.kernel_size ** 2, (1, 1), dtype=self.dtype,
                          name='dna_head')(dec3)
@@ -141,26 +151,51 @@ class CDNAStep(nn.Module):
             kernels = normalize_kernels(
                 raw.reshape(b, self.kernel_size, self.kernel_size,
                             self.num_masks))
-            eff_kernels = effective_pixel_kernels(
-                kernels, masks, offset).astype(self.dtype)
-
-        masks_c = masks.astype(self.dtype)
-        gen_image = prev_c * masks_c[..., 0:1]
-        if self.sna:
-            gen_image = gen_image + \
-                first_image.astype(self.dtype) * masks_c[..., 1:2]
-        gen_image = gen_image + dna_warp(prev_c, eff_kernels)
+            if not self.use_pallas_warp:
+                eff_kernels = effective_pixel_kernels(
+                    kernels, masks, offset).astype(self.dtype)
 
         gen_distrib = prev_distrib
-        if self.num_distribs:
-            pd = prev_distrib.astype(self.dtype)
-            gd = pd * masks_c[..., 0:1]
+        if self.use_pallas_warp and not self.dna:
+            # fused VMEM kernel: effective-kernel contraction + warp of frame
+            # AND distributions + compositing, no HBM intermediates
+            from visual_foresight_tpu.ops.pallas_cdna import (
+                fused_warp_composite)
+            pd = prev_distrib.astype(self.dtype) if self.num_distribs else \
+                jnp.zeros(prev_c.shape[:3] + (0,), self.dtype)
+            fd = first_distrib.astype(self.dtype) if self.num_distribs else pd
+            gen_image, gd = fused_warp_composite(
+                prev_c, first_image.astype(self.dtype), pd, fd,
+                kernels.astype(self.dtype), masks.astype(self.dtype),
+                sna=self.sna, block_b=_pallas_block(b))
+            if self.num_distribs:
+                total = jnp.sum(gd.astype(jnp.float32), axis=(1, 2),
+                                keepdims=True)
+                gen_distrib = (gd.astype(jnp.float32) /
+                               jnp.maximum(total, 1e-12)).astype(self.dtype)
+        else:
+            masks_c = masks.astype(self.dtype)
+            gen_image = prev_c * masks_c[..., 0:1]
             if self.sna:
-                gd = gd + first_distrib.astype(self.dtype) * masks_c[..., 1:2]
-            gd = gd + dna_warp(pd, eff_kernels)
-            total = jnp.sum(gd.astype(jnp.float32), axis=(1, 2), keepdims=True)
-            gen_distrib = (gd.astype(jnp.float32) /
-                           jnp.maximum(total, 1e-12)).astype(self.dtype)
+                gen_image = gen_image + \
+                    first_image.astype(self.dtype) * masks_c[..., 1:2]
+            if self.num_distribs:
+                # one patch extraction/contraction for frame + distributions
+                pd = prev_distrib.astype(self.dtype)
+                warped = dna_warp(jnp.concatenate([prev_c, pd], axis=-1),
+                                  eff_kernels)
+                gen_image = gen_image + warped[..., :prev_c.shape[-1]]
+                gd = pd * masks_c[..., 0:1]
+                if self.sna:
+                    gd = gd + first_distrib.astype(self.dtype) * \
+                        masks_c[..., 1:2]
+                gd = gd + warped[..., prev_c.shape[-1]:]
+                total = jnp.sum(gd.astype(jnp.float32), axis=(1, 2),
+                                keepdims=True)
+                gen_distrib = (gd.astype(jnp.float32) /
+                               jnp.maximum(total, 1e-12)).astype(self.dtype)
+            else:
+                gen_image = gen_image + dna_warp(prev_c, eff_kernels)
 
         state_delta = nn.Dense(self.sdim, name='state_head')(
             sa.astype(jnp.float32))
@@ -206,6 +241,7 @@ class CDNAPredictor(nn.Module):
     enc_features: Tuple[int, int, int] = (32, 64, 128)
     lstm_kernel: int = 5
     separable_lstm: bool = False
+    use_pallas_warp: bool = False
 
     @nn.compact
     def __call__(self, images, actions, states=None, distribs=None, rng=None,
@@ -285,7 +321,8 @@ class CDNAPredictor(nn.Module):
                            sdim=self.sdim, dtype=self.dtype,
                            enc_features=self.enc_features,
                            lstm_kernel=self.lstm_kernel,
-                           separable_lstm=self.separable_lstm, name='step')
+                           separable_lstm=self.separable_lstm,
+                           use_pallas_warp=self.use_pallas_warp, name='step')
         _, (imgs_tm, distribs_tm, states_tm) = step(init_carry, xs)
 
         result = {
