@@ -2,6 +2,8 @@
 
 
 def get_controller_class(robot_type):
+    if not isinstance(robot_type, str):
+        return robot_type   # custom controller class (tests, new robots)
     if robot_type == 'sawyer':
         from .sawyer.sawyer_impedance import SawyerImpedanceController
         return SawyerImpedanceController

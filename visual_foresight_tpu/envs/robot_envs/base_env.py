@@ -36,7 +36,8 @@ class BaseRobotEnv(BaseEnv):
         self._hp = self._default_hparams()
         self._hp.start_state = []
         for name, value in env_params.items():
-            if name in ('camera_topics', 'start_state'):
+            # robot_type may be a controller CLASS (tests / unregistered robots)
+            if name in ('camera_topics', 'start_state', 'robot_type'):
                 setattr(self._hp, name, value)
             else:
                 self._hp.set_hparam(name, value)

@@ -1,0 +1,176 @@
+"""Success-classifier / NCE-embedding training.
+
+Internalizes the ``control_embedding`` models the reference imported
+externally for its classifier/NCE planning costs.  Labels come from the
+``goal_reached`` metadata of collected trajectories (classifier) or from
+temporal-proximity positives (NCE).
+
+CLI::
+
+    python -m visual_foresight_tpu.training.train_classifier \
+        --data_dir <records> --model_dir <ckpts> [--mode classifier|nce]
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from visual_foresight_tpu.models.classifier import NCEEmbedding, SuccessClassifier
+from visual_foresight_tpu.prediction import checkpoints
+
+
+def classifier_batches(args):
+    from visual_foresight_tpu.data.dataset_reader import BaseVideoDataset
+    ds = BaseVideoDataset(args.data_dir, args.batch_size)
+    for batch in ds.numpy_iterator(keys=('images', 'goal_reached')):
+        images = batch['images'].astype(np.float32) / 255.0
+        labels = np.asarray(batch['goal_reached']).reshape(-1).astype(
+            np.float32)
+        # final frame vs first frame (as goal proxy)
+        yield images[:, -1, args.camera], images[:, 0, args.camera], labels
+
+
+def synthetic_classifier_batches(args, seed=0):
+    rng = np.random.RandomState(seed)
+    h, w = args.image_height, args.image_width
+    while True:
+        frames = rng.rand(args.batch_size, h, w, 3).astype(np.float32) * 0.2
+        labels = (rng.rand(args.batch_size) > 0.5).astype(np.float32)
+        frames[labels > 0.5, :8, :8] += 0.7   # learnable success cue
+        goals = rng.rand(args.batch_size, h, w, 3).astype(np.float32) * 0.2
+        yield frames, goals, labels
+
+
+def train_classifier(args):
+    model = SuccessClassifier()
+    key = jax.random.PRNGKey(args.seed)
+    h, w = args.image_height, args.image_width
+    params = model.init(key, jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3)))
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, frames, goals, labels):
+        logits = model.apply(params, frames, goals)
+        loss = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+        acc = jnp.mean((logits > 0) == (labels > 0.5))
+        return loss, {'loss': loss, 'acc': acc}
+
+    @jax.jit
+    def step_fn(params, opt_state, frames, goals, labels):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, frames, goals, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, metrics
+
+    batches = classifier_batches(args) if args.data_dir else \
+        synthetic_classifier_batches(args)
+    t0 = time.time()
+    history = []
+    for step in range(args.steps):
+        frames, goals, labels = next(batches)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, jnp.asarray(frames), jnp.asarray(goals),
+            jnp.asarray(labels))
+        if step % args.log_every == 0 or step == args.steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(step=step, sec=round(time.time() - t0, 1))
+            history.append(m)
+            print(json.dumps(m))
+    if args.model_dir:
+        print('saved to', checkpoints.save_params(
+            jax.device_get(params), args.model_dir, args.steps))
+    return history, params
+
+
+def train_nce(args):
+    """InfoNCE over (frame_t, frame_{t+1}) positives within a batch."""
+    model = NCEEmbedding()
+    key = jax.random.PRNGKey(args.seed)
+    h, w = args.image_height, args.image_width
+    params = model.init(key, jnp.zeros((1, h, w, 3)))
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, anchors, positives, temp=0.1):
+        za = model.apply(params, anchors)
+        zp = model.apply(params, positives)
+        logits = za @ zp.T / temp
+        labels = jnp.arange(anchors.shape[0])
+        loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels))
+        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+        return loss, {'loss': loss, 'acc': acc}
+
+    @jax.jit
+    def step_fn(params, opt_state, anchors, positives):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, anchors, positives)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, metrics
+
+    def batches():
+        if args.data_dir:
+            from visual_foresight_tpu.data.dataset_reader import (
+                BaseVideoDataset)
+            ds = BaseVideoDataset(args.data_dir, args.batch_size)
+            rng = np.random.RandomState(args.seed)
+            for batch in ds.numpy_iterator(keys=('images',)):
+                images = batch['images'].astype(np.float32) / 255.0
+                T = images.shape[1]
+                t = rng.randint(0, T - 1)
+                yield images[:, t, args.camera], images[:, t + 1, args.camera]
+        else:
+            rng = np.random.RandomState(args.seed)
+            while True:
+                base = rng.rand(args.batch_size, h, w, 3).astype(np.float32)
+                noise = rng.randn(args.batch_size, h, w,
+                                  3).astype(np.float32) * 0.05
+                yield base, np.clip(base + noise, 0, 1)
+
+    gen = batches()
+    t0 = time.time()
+    history = []
+    for step in range(args.steps):
+        anchors, positives = next(gen)
+        params, opt_state, metrics = step_fn(params, opt_state,
+                                             jnp.asarray(anchors),
+                                             jnp.asarray(positives))
+        if step % args.log_every == 0 or step == args.steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(step=step, sec=round(time.time() - t0, 1))
+            history.append(m)
+            print(json.dumps(m))
+    if args.model_dir:
+        print('saved to', checkpoints.save_params(
+            jax.device_get(params), args.model_dir, args.steps))
+    return history, params
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    p.add_argument('--mode', type=str, default='classifier',
+                   choices=['classifier', 'nce'])
+    p.add_argument('--data_dir', type=str, default='')
+    p.add_argument('--model_dir', type=str, default='')
+    p.add_argument('--steps', type=int, default=2000)
+    p.add_argument('--batch_size', type=int, default=32)
+    p.add_argument('--lr', type=float, default=1e-3)
+    p.add_argument('--image_height', type=int, default=48)
+    p.add_argument('--image_width', type=int, default=64)
+    p.add_argument('--camera', type=int, default=0)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--log_every', type=int, default=50)
+    return p
+
+
+if __name__ == '__main__':
+    args = build_argparser().parse_args()
+    if args.mode == 'classifier':
+        train_classifier(args)
+    else:
+        train_nce(args)
