@@ -43,7 +43,8 @@ def scheduled_sampling_mask(key, step, T, batch, n_context, k=900.0):
     return jnp.maximum(mask, ctx[None])
 
 
-def make_loss_fn(model, n_context, state_weight=1e-4, l1_weight=0.0):
+def make_loss_fn(model, n_context, state_weight=1e-4, l1_weight=0.0,
+                 ss_k=900.0):
     def loss_fn(params, batch, rng, step):
         images = batch['images']          # (B, T+1, H, W, C) float [0,1]
         actions = batch['actions']        # (B, T, adim)
@@ -52,7 +53,8 @@ def make_loss_fn(model, n_context, state_weight=1e-4, l1_weight=0.0):
         T = Tp1 - 1
 
         rng_ss, rng_latent = jax.random.split(rng)
-        gt_mask = scheduled_sampling_mask(rng_ss, step, T, B, n_context)
+        gt_mask = scheduled_sampling_mask(rng_ss, step, T, B, n_context,
+                                          k=ss_k)
 
         out = model.apply(params, images, actions, states,
                           distribs=None, rng=rng_latent, gt_mask=gt_mask)
@@ -164,7 +166,7 @@ def train(args):
     train_step = jax.jit(
         make_train_step(model, tx, args.context_frames,
                         state_weight=args.state_weight,
-                        l1_weight=args.l1_weight),
+                        l1_weight=args.l1_weight, ss_k=args.ss_k),
         in_shardings=(rsh, rsh, bsh, rsh, rsh),
         out_shardings=(rsh, rsh, rsh),
         donate_argnums=(0, 1))
@@ -225,6 +227,9 @@ def build_argparser():
     p.add_argument('--no_sna', action='store_true')
     p.add_argument('--bf16', action='store_true')
     p.add_argument('--state_weight', type=float, default=1e-4)
+    p.add_argument('--ss_k', type=float, default=900.0,
+                   help='scheduled-sampling decay constant; p(gt) = '
+                        'k/(k+exp(step/k)) — match to the step budget')
     p.add_argument('--l1_weight', type=float, default=0.0)
     p.add_argument('--camera', type=int, default=0)
     p.add_argument('--n_devices', type=int, default=-1)
