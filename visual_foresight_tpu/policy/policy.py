@@ -56,7 +56,11 @@ class Policy(object, metaclass=abc.ABCMeta):
             if name == 'type':
                 continue  # 'type' holds the policy class itself
             default = getattr(self._hp, name) if name in self._hp else None
-            if name in self._hp and default is not None and np.all(value == default):
+            # the identical-to-default error catches stale configs (reference
+            # ``policy.py:57-58``); empty-ish defaults are exempt so configs
+            # can set paths/lists programmatically
+            if name in self._hp and default not in (None, '', [], {}) and \
+                    np.all(value == default):
                 raise ValueError(
                     'Policy param {} override is identical to its default!'.format(name))
             if name in self._hp and default is None:
