@@ -32,7 +32,10 @@ def _make_parent_if_needed(file_name):
 def _file_worker(file_queue):
     logging.debug('file saver started, PID %d', os.getpid())
     prepend_path = './'
-    data = file_queue.get(True)
+    try:
+        data = file_queue.get(True)
+    except (EOFError, OSError):
+        return  # manager shut down before us (process exit)
     while data is not None:
         kind = data[0]
         if kind == 'path':
@@ -56,4 +59,7 @@ def _file_worker(file_queue):
             path = os.path.join(prepend_path, data[1])
             _make_parent_if_needed(path)
             cv2.imwrite(path, np.asarray(data[2])[:, :, ::-1])
-        data = file_queue.get(True)
+        try:
+            data = file_queue.get(True)
+        except (EOFError, OSError):
+            return
