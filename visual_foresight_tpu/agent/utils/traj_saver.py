@@ -76,8 +76,29 @@ class GeneralAgentSaver:
             self._saver = RecordSaver(save_dir, sequence_length, traj_per_file,
                                       offset, split)
 
+    @staticmethod
+    def _serializable(value):
+        try:
+            get_dtype(value)
+            return True
+        except ValueError:
+            return False
+
     def _save_manifests(self, agent_data, obs, policy_out):
         savers = [self._good_saver, self._bad_saver] if self._seperate_good else [self._saver]
+        # non-tensor payloads (e.g. CEM plan_stat dicts, verbose handles) are
+        # dropped from records — raw pkl saving keeps them
+        self._skip_meta = {k for k in (agent_data or {})
+                           if not self._serializable(agent_data[k])}
+        self._skip_policy = {k for k in (policy_out[0] if policy_out else {})
+                             if not self._serializable(policy_out[0][k])}
+        if self._skip_meta or self._skip_policy:
+            print('record saver: skipping non-tensor keys {}'.format(
+                sorted(self._skip_meta | self._skip_policy)))
+        agent_data = {k: v for k, v in (agent_data or {}).items()
+                      if k not in self._skip_meta}
+        policy_out = [{k: v for k, v in p.items() if k not in self._skip_policy}
+                      for p in (policy_out or [])]
         for s in savers:
             if agent_data is not None:
                 for k in agent_data:
@@ -111,7 +132,8 @@ class GeneralAgentSaver:
             self._save_manifests(agent_data, obs, policy_out)
             self._manifest_saved = True
 
-        meta_data_dict = {k: convert_datum(v) for k, v in agent_data.items()}
+        meta_data_dict = {k: convert_datum(v) for k, v in agent_data.items()
+                          if k not in self._skip_meta}
         sequence_data = []
         for t in range(self._T):
             step_dict = {}
@@ -124,6 +146,8 @@ class GeneralAgentSaver:
                     step_dict['env/{}'.format(k)] = convert_datum(obs[k][t])
             if len(policy_out) > t:
                 for k in policy_out[t]:
+                    if k in self._skip_policy:
+                        continue
                     step_dict['policy/{}'.format(k)] = convert_datum(policy_out[t][k])
             sequence_data.append(step_dict)
 
