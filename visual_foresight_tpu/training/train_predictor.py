@@ -149,6 +149,14 @@ def record_batches(args):
 def train(args):
     model = build_model(args)
     params = init_params(model, args)
+    start_step = 0
+    if args.resume and args.model_dir:
+        view_dir = os.path.join(args.model_dir, 'view0')
+        latest = checkpoints.latest_checkpoint(view_dir)
+        if latest:
+            params = checkpoints.restore_params(view_dir, template=params)
+            start_step = int(latest.rsplit('_', 1)[1])
+            print('resumed from {} (step {})'.format(latest, start_step))
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print('model params:', n_params)
 
@@ -179,7 +187,7 @@ def train(args):
 
     t0 = time.time()
     history = []
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         batch = next(batches)
         batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
         rng, sub = jax.random.split(rng)
@@ -236,6 +244,8 @@ def build_argparser():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--log_every', type=int, default=20)
     p.add_argument('--ckpt_every', type=int, default=0)
+    p.add_argument('--resume', action='store_true', default=False,
+                   help='resume from the latest checkpoint in model_dir')
     return p
 
 
