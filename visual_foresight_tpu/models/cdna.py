@@ -243,6 +243,113 @@ class CDNAPredictor(nn.Module):
     separable_lstm: bool = False
     use_pallas_warp: bool = False
 
+    def _make_step(self):
+        ScannedStep = nn.scan(
+            CDNAStep,
+            variable_broadcast='params',
+            split_rngs={'params': False},
+            in_axes=0, out_axes=0)
+        return ScannedStep(num_masks=self.num_masks,
+                           kernel_size=self.kernel_size, sna=self.sna,
+                           dna=self.dna, num_distribs=self.num_distribs,
+                           sdim=self.sdim, dtype=self.dtype,
+                           enc_features=self.enc_features,
+                           lstm_kernel=self.lstm_kernel,
+                           separable_lstm=self.separable_lstm,
+                           use_pallas_warp=self.use_pallas_warp, name='step')
+
+    @nn.compact
+    def encode_context(self, images, actions, states=None, distribs=None):
+        """Consume the context frames only; return the post-context carry.
+
+        Runs the n_context teacher-forced steps once (typically at batch 1)
+        so the CEM loop can broadcast the resulting recurrent state across
+        all samples instead of re-rolling identical context work per sample
+        per iteration.  ``actions`` needs >= n_context - 1 entries (the
+        executed actions between the context frames) — the n_context-th
+        step's action comes from the candidate plan, so the carry returned
+        here is the state *after consuming frame n_context-1*.
+        """
+        b, n_in, h, w, _ = images.shape
+        assert n_in >= self.n_context
+        n_pre = self.n_context - 1   # steps fully determined by context
+        if states is None:
+            states = jnp.zeros((b, n_in, self.sdim), jnp.float32)
+
+        f1, f2, f3 = self.enc_features
+        lstm_states = (
+            ConvLSTMCell.initial_state(b, h // 2, w // 2, f1, self.dtype),
+            ConvLSTMCell.initial_state(b, h // 4, w // 4, f2, self.dtype),
+            ConvLSTMCell.initial_state(b, h // 8, w // 8, f3, self.dtype),
+            ConvLSTMCell.initial_state(b, h // 4, w // 4, f2, self.dtype),
+            ConvLSTMCell.initial_state(b, h // 2, w // 2, f1, self.dtype),
+        )
+        first_image = images[:, 0].astype(self.dtype)
+        first_distrib = distribs[:, 0].astype(self.dtype) \
+            if self.num_distribs else jnp.zeros((b, h, w, 0), self.dtype)
+        latent = jnp.zeros((b, self.latent_dim), jnp.float32) \
+            if self.latent_dim else None
+        carry = (lstm_states, first_image, first_distrib,
+                 states[:, 0].astype(jnp.float32), first_image, first_distrib,
+                 latent)
+        if n_pre == 0:
+            return carry
+
+        xs = (
+            jnp.swapaxes(actions.astype(jnp.float32)[:, :n_pre], 0, 1),
+            jnp.swapaxes(images.astype(self.dtype)[:, :n_pre], 0, 1),
+            jnp.swapaxes(distribs.astype(self.dtype)[:, :n_pre], 0, 1)
+            if self.num_distribs else jnp.zeros((n_pre, b, 0), self.dtype),
+            jnp.swapaxes(states.astype(jnp.float32)[:, :n_pre], 0, 1),
+            jnp.ones((n_pre, b), jnp.float32),   # context: teacher-forced
+        )
+        carry, _ = self._make_step()(carry, xs)
+        # the NEXT step must consume the final context frame (teacher-forced
+        # input), so overwrite the generated fields with ground truth
+        (lstm_states, _, _, _, fi, fd, lat) = carry
+        last = self.n_context - 1
+        carry = (lstm_states, images[:, last].astype(self.dtype),
+                 distribs[:, last].astype(self.dtype) if self.num_distribs
+                 else fd, states[:, last].astype(jnp.float32), fi, fd, lat)
+        return carry
+
+    @nn.compact
+    def rollout_from(self, carry, actions, rng=None):
+        """Autoregressive rollout from an ``encode_context`` carry.
+
+        :param actions: (B, T_plan, adim) — first entry is the action paired
+            with the final context frame
+        :return: dict of gen_images / gen_states / gen_distribs, T_plan steps
+        """
+        (lstm_states, prev_img, prev_distrib, prev_state, fi, fd,
+         latent) = carry
+        b = prev_img.shape[0]
+        T = actions.shape[1]
+        h, w = prev_img.shape[1:3]
+        if self.latent_dim and rng is not None:
+            latent = jax.random.normal(rng, (b, self.latent_dim))
+            carry = (lstm_states, prev_img, prev_distrib, prev_state, fi, fd,
+                     latent)
+
+        gt_mask = jnp.zeros((T, b), jnp.float32).at[0].set(1.0)
+        xs = (
+            jnp.swapaxes(actions.astype(jnp.float32), 0, 1),
+            jnp.broadcast_to(prev_img[None], (T,) + prev_img.shape),
+            jnp.broadcast_to(prev_distrib[None], (T,) + prev_distrib.shape)
+            if self.num_distribs else jnp.zeros((T, b, 0), self.dtype),
+            jnp.broadcast_to(prev_state[None], (T,) + prev_state.shape),
+            gt_mask,
+        )
+        _, (imgs_tm, distribs_tm, states_tm) = self._make_step()(carry, xs)
+        result = {
+            'gen_images': jnp.swapaxes(imgs_tm, 0, 1).astype(jnp.float32),
+            'gen_states': jnp.swapaxes(states_tm, 0, 1).astype(jnp.float32),
+        }
+        if self.num_distribs:
+            result['gen_distribs'] = jnp.swapaxes(
+                distribs_tm, 0, 1).astype(jnp.float32)
+        return result
+
     @nn.compact
     def __call__(self, images, actions, states=None, distribs=None, rng=None,
                  gt_mask=None):
@@ -309,21 +416,7 @@ class CDNAPredictor(nn.Module):
             jnp.swapaxes(gt_mask, 0, 1),                        # (T,B)
         )
 
-        ScannedStep = nn.scan(
-            CDNAStep,
-            variable_broadcast='params',
-            split_rngs={'params': False},
-            in_axes=0, out_axes=0)
-
-        step = ScannedStep(num_masks=self.num_masks,
-                           kernel_size=self.kernel_size, sna=self.sna,
-                           dna=self.dna, num_distribs=self.num_distribs,
-                           sdim=self.sdim, dtype=self.dtype,
-                           enc_features=self.enc_features,
-                           lstm_kernel=self.lstm_kernel,
-                           separable_lstm=self.separable_lstm,
-                           use_pallas_warp=self.use_pallas_warp, name='step')
-        _, (imgs_tm, distribs_tm, states_tm) = step(init_carry, xs)
+        _, (imgs_tm, distribs_tm, states_tm) = self._make_step()(init_carry, xs)
 
         result = {
             'gen_images': jnp.swapaxes(imgs_tm, 0, 1).astype(jnp.float32),

@@ -76,25 +76,34 @@ class FusedCEMPlanner:
         self._replan_jit = jax.jit(self._replan)
 
     # -- core program --------------------------------------------------------------
-    def _rollout(self, params, images, states, distribs, actions, rng):
-        """Roll all cameras; returns (M,T',ncam,H,W,C), (M,T',ncam,H,W,P).
-
-        ``params`` is a list with one pytree per camera (shared model arch).
-        Context tensors are per-camera: images (ncam, n_ctx, H, W, C).
-        """
-        n_ctx = self._model.n_context
-        M = actions.shape[0]
-        gen_images, gen_distribs = [], []
+    def _encode_contexts(self, params, images, states, distribs,
+                         context_actions, num_samples):
+        """Consume the context ONCE per camera at batch 1 and broadcast the
+        recurrent carry across the sample batch — the context work is
+        identical for every sample and every CEM iteration, so it runs
+        exactly once per replan instead of iterations x M times."""
+        carries = []
         for c, cam_params in enumerate(params):
-            imgs = jnp.broadcast_to(images[c][None],
-                                    (M,) + images[c].shape)
-            dstr = jnp.broadcast_to(distribs[c][None],
-                                    (M,) + distribs[c].shape)
-            sts = jnp.broadcast_to(states[None], (M,) + states.shape)
-            out = self._model.apply(cam_params, imgs, actions, sts, dstr,
-                                    rng=rng)
-            gen_images.append(out['gen_images'][:, n_ctx - 1:])
-            gen_distribs.append(out['gen_distribs'][:, n_ctx - 1:])
+            carry1 = self._model.apply(
+                cam_params, images[c][None], context_actions[None],
+                states[None], distribs[c][None], method='encode_context')
+            carries.append(jax.tree.map(
+                lambda x: (jnp.broadcast_to(x, (num_samples,) + x.shape[1:])
+                           if hasattr(x, 'shape') else x), carry1))
+        return carries
+
+    def _rollout(self, params, carries, plan, rng):
+        """Roll all cameras from pre-encoded context carries.
+
+        :param plan: (M, T_plan, adim) candidate plans
+        :return: (M,T',ncam,H,W,C), (M,T',ncam,H,W,P)
+        """
+        gen_images, gen_distribs = [], []
+        for cam_params, carry in zip(params, carries):
+            out = self._model.apply(cam_params, carry, plan, rng=rng,
+                                    method='rollout_from')
+            gen_images.append(out['gen_images'])
+            gen_distribs.append(out['gen_distribs'])
         return (jnp.stack(gen_images, axis=2), jnp.stack(gen_distribs, axis=2))
 
     def _replan(self, params, key, context_images, context_states,
@@ -117,6 +126,10 @@ class FusedCEMPlanner:
         best_actions = None
         vis = None
 
+        carries = self._encode_contexts(params, context_images,
+                                        context_states, context_distribs,
+                                        context_actions, M)
+
         for itr in range(self._iterations):
             key, k_sample, k_model = jax.random.split(key, 3)
             plan = sample_actions(k_sample, mean, sigma, spec, M,
@@ -125,13 +138,9 @@ class FusedCEMPlanner:
             if self._plan_sharding is not None:
                 plan = jax.lax.with_sharding_constraint(
                     plan, self._plan_sharding)
-            full_actions = jnp.concatenate(
-                [jnp.broadcast_to(context_actions[None],
-                                  (M,) + context_actions.shape), plan], axis=1)
 
-            gen_images, gen_distribs = self._rollout(
-                params, context_images, context_states, context_distribs,
-                full_actions, k_model)
+            gen_images, gen_distribs = self._rollout(params, carries, plan,
+                                                     k_model)
 
             if self._cost_fn is not None:
                 scores = self._cost_fn(gen_images, gen_distribs, cost_ctx)
