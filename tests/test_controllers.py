@@ -1,0 +1,101 @@
+"""Controller smoke tests on the CPU backend: goal-image, classifier, NCE,
+registration — all through their public act() ABI with random-init models."""
+
+import numpy as np
+import pytest
+
+AG_PARAMS = {'adim': 3, 'sdim': 3, 'ncam': 1, 'image_height': 16,
+             'image_width': 24, 'T': 6}
+SMALL_PREDICTOR = {'num_masks': 4, 'dtype': 'float32', 'sequence_length': 8}
+BASE_POLICY = {
+    'T': 6, 'nactions': 2, 'num_samples': 12, 'minimum_selection': 3,
+    'action_order': ['x', 'z', 'grasp'], 'initial_std_lift': 0.1,
+    'rejection_sampling': False, 'verbose': False,
+    'predictor_hparams': SMALL_PREDICTOR,
+}
+
+
+def _history(seed=0):
+    rng = np.random.RandomState(seed)
+    images = (rng.rand(2, 1, 16, 24, 3) * 255).astype(np.uint8)
+    state = rng.randn(2, 3).astype(np.float32) * 0.01
+    goal_image = rng.rand(1, 16, 24, 3).astype(np.float32)
+    return images, state, goal_image
+
+
+def _run_two_steps(ctrl, **act_kwargs):
+    ctrl.reset()
+    out = None
+    for t in range(2):
+        out = ctrl.act(t=t, i_tr=0, **act_kwargs)
+        assert out['actions'].shape == (3,)
+    return out
+
+
+def test_goal_im_controller():
+    from visual_foresight_tpu.policy.cem_controllers.goal_im_controller import (
+        GoalImController)
+    ctrl = GoalImController(AG_PARAMS, dict(BASE_POLICY))
+    images, state, goal_image = _history()
+    out = _run_two_steps(ctrl, images=images, goal_image=goal_image,
+                         state=state, verbose_worker=None)
+    assert 'scores_itr0' in out['plan_stat']
+
+
+def test_classifier_controller():
+    from visual_foresight_tpu.policy.cem_controllers.variants.classifier_controller import (
+        ClassifierController)
+    ctrl = ClassifierController(AG_PARAMS, dict(BASE_POLICY))
+    images, state, goal_image = _history(1)
+    out = _run_two_steps(ctrl, images=images, goal_image=goal_image,
+                         state=state, verbose_worker=None)
+    scores = out['plan_stat']['scores_itr0']
+    assert np.all(scores > 0)   # -log sigmoid is positive
+
+
+def test_nce_controller():
+    from visual_foresight_tpu.policy.cem_controllers.variants.nce_cost_controller import (
+        NCECostController)
+    ctrl = NCECostController(AG_PARAMS, dict(BASE_POLICY))
+    images, state, goal_image = _history(2)
+    out = _run_two_steps(ctrl, images=images, goal_image=goal_image,
+                         state=state, verbose_worker=None)
+    scores = out['plan_stat']['scores_itr0']
+    assert np.all(np.abs(scores) <= 1.0 + 1e-5)   # -cosine similarity
+
+
+def test_registration_controller():
+    from visual_foresight_tpu.policy.cem_controllers.registration_controller import (
+        RegisterGtruthController)
+    pp = dict(BASE_POLICY)
+    ag = dict(AG_PARAMS, ntask=1)
+    ctrl = RegisterGtruthController(ag, pp)
+    images, state, goal_image = _history(3)
+    desig = np.array([[[8, 12]]])
+    goal_pix = np.array([[[4, 20]]])
+    ctrl.reset()
+    out = None
+    for t in range(2):
+        out = ctrl.act(t=t, i_tr=0, desig_pix=desig, goal_pix=goal_pix,
+                       images=images, goal_image=goal_image, state=state,
+                       verbose_worker=None)
+        assert out['actions'].shape == (3,)
+    # registration produced tradeoffs over (cam, start/goal) tasks
+    assert 'tradeoff' in out['plan_stat']
+    assert np.isclose(out['plan_stat']['tradeoff'].sum(), 1.0, atol=1e-4)
+
+
+def test_ensemble_controller():
+    from visual_foresight_tpu.policy.cem_controllers.variants.ensemble_vidpred import (
+        CEMControllerEnsembleVidPred)
+    pp = dict(BASE_POLICY)
+    pp['num_ensembles'] = 2
+    ctrl = CEMControllerEnsembleVidPred(AG_PARAMS, pp)
+    images, state, _ = _history(4)
+    desig = np.array([[[8, 12]]])
+    goal_pix = np.array([[[4, 20]]])
+    ctrl.reset()
+    out = ctrl.act(t=1, i_tr=0, desig_pix=desig, goal_pix=goal_pix,
+                   images=images, state=state, verbose_worker=None)
+    assert out['actions'].shape == (3,)
+    assert 'scores_itr0' in out['plan_stat']
