@@ -71,3 +71,40 @@ def test_grasp_goal_detection():
     env._object_floors[:, 2] = -0.1  # pretend floor level so delta large
     env.step(np.array([0.0, 0.14, 1.0]))
     assert env.has_goal()
+
+
+def test_autograsp_cartgripper_env():
+    """Autograsp sim env: 4-dim actions, auto-close below zthresh, 2 cams,
+    touch sensors present."""
+    from visual_foresight_tpu.envs.mujoco_env.cartgripper_env.autograsp_env import (
+        AutograspCartgripperEnv)
+    np.random.seed(0)
+    env = AutograspCartgripperEnv(dict(ENV_PARAMS))
+    obs, _ = env.reset()
+    assert env.adim == 4 and env.sdim == 5 and env.ncam == 2
+    assert obs['images'].shape == (2, 96, 128, 3)
+    assert 'finger_sensors' in obs
+    assert not env._gripper_closed
+    for _ in range(3):
+        obs = env.step(np.array([0.0, 0.0, -0.1, 0.0]))
+    assert env._gripper_closed        # dropped below zthresh
+    assert obs['state'][-1] == 1      # closed flag in state
+
+
+def test_pusher_and_xyz_envs():
+    from visual_foresight_tpu.envs.mujoco_env.cartgripper_env.cartgripper_pusher import (
+        CartgripperPusherEnv)
+    from visual_foresight_tpu.envs.mujoco_env.cartgripper_env.cartgripper_xyz import (
+        CartgripperXYZEnv)
+    np.random.seed(1)
+    pusher = CartgripperPusherEnv(dict(ENV_PARAMS))
+    obs, _ = pusher.reset()
+    assert pusher.adim == 4
+    obs = pusher.step(np.array([0.05, -0.02, 0.0, 0.1]))
+    assert obs['state'].shape == (4,)
+
+    xyz = CartgripperXYZEnv(dict(ENV_PARAMS))
+    obs, _ = xyz.reset()
+    assert xyz.adim == 3
+    obs = xyz.step(np.array([0.03, 0.0, -0.02]))
+    assert obs['state'].shape == (3,)
