@@ -50,6 +50,10 @@ DEFAULT_HPARAMS = {
     # False for strict Finn-CDNA architectural parity)
     'separable_lstm': True,
     'lstm_kernel': 5,
+    # fused VMEM warp kernel (ops/pallas_cdna.py): verified against the
+    # XLA path, but OPT-IN - the remote Mosaic compile service on this
+    # dev box is unreliable; the XLA path is within ~1 ms/step of it
+    'use_pallas_warp': False,
 }
 
 
@@ -76,6 +80,7 @@ class TPUPredictor:
             sdim=hp['sdim'], adim=hp['adim'], dtype=dtype,
             lstm_kernel=hp['lstm_kernel'],
             separable_lstm=hp['separable_lstm'],
+            use_pallas_warp=hp['use_pallas_warp'],
             **(model_kwargs or {}))
 
         self.params = None          # list: one pytree per camera
