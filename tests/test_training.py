@@ -55,6 +55,52 @@ def test_predictor_overfits_fixed_batch():
     assert losses[-1] == min(losses[-5:]) or losses[-1] < losses[0]
 
 
+def test_train_step_dp_sharded_matches_single_device():
+    """The dp-sharded train step (batch axis over the 8-device CPU mesh,
+    params/opt replicated, XLA-inserted gradient all-reduce) produces the
+    same loss and updated params as the unsharded program."""
+    import optax
+
+    from visual_foresight_tpu.models.cdna import CDNAPredictor
+    from visual_foresight_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                    replicate, replicated,
+                                                    shard_batch)
+    from visual_foresight_tpu.training.train_predictor import make_train_step
+
+    model = CDNAPredictor(n_context=2, num_masks=4, num_distribs=0, sdim=3,
+                          adim=3, enc_features=(8, 16, 32))
+    rng = np.random.RandomState(0)
+    B, T, H, W = 8, 4, 16, 24
+    batch = {
+        'images': jnp.asarray(rng.rand(B, T, H, W, 3), jnp.float32),
+        'actions': jnp.asarray(rng.randn(B, T - 1, 3) * 0.1, jnp.float32),
+        'states': jnp.asarray(rng.randn(B, T, 3) * 0.1, jnp.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch['images'][:, :2],
+                        batch['actions'], batch['states'][:, :2])
+    tx = optax.adam(1e-3)
+    step = make_train_step(model, tx, n_context=2)
+    key = jax.random.PRNGKey(1)
+
+    p1, _, m1 = jax.jit(step)(params, tx.init(params), batch, key,
+                              jnp.asarray(0.0))
+
+    mesh = make_mesh(8)
+    assert len(mesh.devices.ravel()) == 8
+    bsh, rsh = batch_sharding(mesh), replicated(mesh)
+    sharded_step = jax.jit(step, in_shardings=(rsh, rsh, bsh, rsh, rsh),
+                           out_shardings=(rsh, rsh, rsh))
+    p2, _, m2 = sharded_step(replicate(mesh, params),
+                             replicate(mesh, tx.init(params)),
+                             shard_batch(mesh, batch),
+                             jax.device_put(key, rsh), jnp.asarray(0.0))
+    assert np.allclose(float(m1['loss']), float(m2['loss']), atol=1e-5)
+    flat1 = jax.tree.leaves(p1)
+    flat2 = jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_gdn_trainer_learns_synthetic():
     from visual_foresight_tpu.training.train_gdn import build_argparser, train
     args = build_argparser().parse_args(
