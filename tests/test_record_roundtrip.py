@@ -48,3 +48,20 @@ def test_roundtrip(tmp_path):
         if any(np.array_equal(wi, got[b]) for b in range(4)):
             matched += 1
     assert matched == 4
+
+    # per-key fetches come from the SAME batch: every (image, state) row
+    # pairs up with one source trajectory consistently
+    for b in range(4):
+        src = next(i for i, t in enumerate(trajs)
+                   if np.array_equal(t[1]['images'][:T, 0], got[b]))
+        assert np.allclose(states[b], trajs[src][1]['state'][:T].astype(np.float32))
+        assert np.allclose(
+            actions[b],
+            np.stack([p['actions'] for p in trajs[src][2]]).astype(np.float32))
+
+    # requesting a served key again advances to a fresh batch with batch_size 2
+    ds2 = BaseVideoDataset(str(tmp_path), batch_size=2,
+                           hparams_dict={'shuffle': False})
+    first = ds2.get('images', 'train')
+    second = ds2.get('images', 'train')
+    assert not np.array_equal(first, second)

@@ -51,6 +51,7 @@ class BaseVideoDataset:
             else:
                 print('Warning: dataset has no files for mode {}'.format(m))
         self._iterators = {}
+        self._current = {}   # mode -> (batch dict, keys served from it)
 
     @staticmethod
     def _get_default_hparams():
@@ -168,15 +169,31 @@ class BaseVideoDataset:
         raise NotImplementedError('key {} not in batch with keys {}'.format(
             key, list(batch.keys())))
 
-    def get(self, key, mode='train'):
-        """Return the next numpy batch of ``key`` for ``mode``."""
+    def next_batch(self, mode='train'):
+        """Advance to (and return) the next raw batch dict for ``mode``."""
         if mode not in self._files:
             raise ValueError('mode {} not valid; dataset has {}'.format(
                 mode, list(self._files.keys())))
         if mode not in self._iterators:
             self._iterators[mode] = self._batch_stream(mode)
         batch = next(self._iterators[mode])
-        self._last_batch = batch
+        self._current[mode] = (batch, set())
+        return batch
+
+    def get(self, key, mode='train'):
+        """Return ``key`` from the current batch of ``mode``.
+
+        Reference semantics (``examples/dataset_reader.py:202-216``): tensors
+        fetched for different keys belong to the SAME batch — the reference
+        builds them as outputs of one tf.data iterator.  The iterator only
+        advances when a key is requested a second time (or via
+        ``next_batch``), so ``ds['images','train']`` + ``ds['actions','train']``
+        are guaranteed to be aligned.
+        """
+        if mode not in self._current or key in self._current[mode][1]:
+            self.next_batch(mode)
+        batch, served = self._current[mode]
+        served.add(key)
         return self._map_key(batch, key)
 
     def numpy_iterator(self, keys=('images', 'actions', 'state'), mode='train'):

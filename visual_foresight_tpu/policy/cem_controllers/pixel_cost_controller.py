@@ -74,7 +74,8 @@ class PixelCostController(CEMBaseController):
         self._fused_state = None
         self._rng = jax.random.PRNGKey(policyparams.get('seed', 0))
         if self._hp.use_fused_planner and \
-                self._hp.sampler is GaussianCEMSampler:
+                self._hp.sampler is GaussianCEMSampler and \
+                self._fused_planner_supported():
             spec = make_action_spec(self._hp.values(), self._adim)
             assert spec.nactions * spec.repeat == self._hp.T, \
                 'T must equal nactions*repeat'
@@ -86,6 +87,25 @@ class PixelCostController(CEMBaseController):
                 action_bound=self._hp.action_bound,
                 only_first_view=self._hp.only_take_first_view,
                 blockdiag_refit=self._hp.cov_blockdiag)
+
+    # hparams the host Gaussian sampler honors but the fused device program
+    # does not implement (it re-initializes mean/sigma every replan and has
+    # no stochastic/discrete/zero-action variants).  Configs setting any of
+    # these must run the host CEM loop to keep reference semantics.
+    _FUSED_UNSUPPORTED = {'reuse_mean': False, 'reuse_cov': False,
+                          'smooth_cov': False, 'add_zero_action': False,
+                          'discrete_ind': None, 'stochastic_planning': None,
+                          'reduce_std_dev': 1.0}
+
+    def _fused_planner_supported(self):
+        offending = [k for k, default in self._FUSED_UNSUPPORTED.items()
+                     if self._hp.get(k, default) != default]
+        if offending:
+            self._logger.log(
+                'fused planner disabled: sampler hparams {} are only honored '
+                'by the host CEM loop'.format(offending))
+            return False
+        return True
 
     def _default_hparams(self):
         default_dict = {
@@ -155,11 +175,9 @@ class PixelCostController(CEMBaseController):
         self._best_indices = np.argsort(scores_per_itr[-1])[:self.elite_count]
 
         if self._hp.predictor_propagation:
-            # reuse the best predicted distribution as the next context
+            # reuse the best predicted distribution as the next context:
+            # gen_distribs[0] is (T', ncam, H, W, P) -> context (n_ctx, ncam, ...)
             best_distrib = np.asarray(result['vis']['gen_distribs'])[0]
-            self._chosen_distrib = np.swapaxes(
-                best_distrib[-n_ctx:], 0, 1) if best_distrib.ndim == 5 else None
-            # gen_distribs: (T', ncam, H, W, P) -> context (n_ctx, ncam, ...)
             self._chosen_distrib = best_distrib[-n_ctx:]
 
         if self._verbose_condition(self._n_iter - 1):

@@ -13,6 +13,21 @@ from visual_foresight_tpu.policy.utils.controller_utils import (
 from .cem_sampler import CEMSampler
 
 
+def _ensure_psd(sigma, eps=1e-10):
+    """Project a (possibly numerically indefinite) covariance to the nearest
+    symmetric PSD matrix by eigenvalue clipping.  Elite-refit covariances are
+    rank-deficient when the elite count is below the plan dimension, and
+    principal submatrices inherit the noise — without this, multivariate
+    sampling is fed a non-PSD matrix."""
+    sigma = 0.5 * (sigma + sigma.T)
+    w, v = np.linalg.eigh(sigma)
+    if w.min() < eps:
+        w = np.clip(w, eps, None)
+        sigma = (v * w) @ v.T
+        sigma = 0.5 * (sigma + sigma.T)
+    return sigma
+
+
 class FoldingCEMSampler(CEMSampler):
     def __init__(self, hp, adim, sdim, **kwargs):
         super().__init__(hp, adim, sdim, **kwargs)
@@ -38,8 +53,8 @@ class FoldingCEMSampler(CEMSampler):
 
     def _sample(self, is_first_itr, M, new_mean, new_sigma):
         self._base_mean = copy.deepcopy(new_mean)
-        self._full_sigma = copy.deepcopy(new_sigma)
-        self._base_sigma = self._full_sigma[:4, :4]
+        self._full_sigma = _ensure_psd(np.array(new_sigma))
+        self._base_sigma = _ensure_psd(self._full_sigma[:4, :4])
 
         ret = np.zeros((M, self._steps, self._adim))
         per_split = int((M * self._hp.split_frac) / 2)
@@ -49,6 +64,7 @@ class FoldingCEMSampler(CEMSampler):
         lower_sigma = copy.deepcopy(self._base_sigma)
         lower_sigma[:2, :2] /= 10
         lower_sigma[3, 3] /= 2
+        lower_sigma = _ensure_psd(lower_sigma)
 
         def mvn(mean, sigma):
             return np.random.multivariate_normal(mean, sigma, 1).reshape(-1)

@@ -114,11 +114,51 @@ class TPUPredictor:
                               self._hp['designated_pixel_count']))
         return self.model.init(key, imgs, acts, states, distribs)
 
+    # architecture keys that must match the checkpoint; everything else in
+    # the hparams dict is a serving-side choice
+    _ARCH_KEYS = ('context_frames', 'num_masks', 'kernel_size', 'sna', 'dna',
+                  'latent_dim', 'lstm_kernel', 'separable_lstm', 'adim',
+                  'sdim')
+
+    def _apply_model_config(self):
+        """If the training run recorded a ``model_config.json`` next to the
+        checkpoints, rebuild the model from it — the train/serve boundary
+        must not depend on both sides passing matching flags (the reference
+        read ``model_hparams.json`` from the checkpoint dir the same way,
+        ``vpred_model_interface.py:18-24``)."""
+        import json
+        cfg_path = os.path.join(str(self._model_path), 'model_config.json')
+        if not os.path.isfile(cfg_path):
+            return
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        changed = {k: cfg[k] for k in self._ARCH_KEYS
+                   if k in cfg and cfg[k] != self._hp[k]}
+        if not changed:
+            return
+        print('predictor: adopting model config from checkpoint dir '
+              '({})'.format(changed))
+        self._hp.update(changed)
+        dtype = (jnp.bfloat16 if self._hp['dtype'] == 'bfloat16'
+                 else jnp.float32)
+        self.model = CDNAPredictor(
+            n_context=self._hp['context_frames'],
+            num_masks=self._hp['num_masks'],
+            kernel_size=self._hp['kernel_size'],
+            sna=self._hp['sna'], dna=self._hp['dna'],
+            latent_dim=self._hp['latent_dim'],
+            num_distribs=self._hp['designated_pixel_count'],
+            sdim=self._hp['sdim'], adim=self._hp['adim'], dtype=dtype,
+            lstm_kernel=self._hp['lstm_kernel'],
+            separable_lstm=self._hp['separable_lstm'],
+            use_pallas_warp=self._hp['use_pallas_warp'])
+
     def restore(self):
         """Load per-camera params from model_path (orbax step dirs, one subdir
         per view: ``view0/``, ``view1/`` …).  Missing checkpoints fall back to
         randomly initialized params with a loud warning (useful for
         benchmarking the compute path before training finishes)."""
+        self._apply_model_config()
         template = self._init_params()
         self.params = []
         for c in range(self.n_cam):

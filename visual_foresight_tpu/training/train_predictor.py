@@ -146,19 +146,42 @@ def record_batches(args):
         }
 
 
+def _fast_forward_count(opt_state, step):
+    """Set every integer ``count`` leaf in an optax state to ``step`` so a
+    resumed schedule continues where it left off."""
+    def bump(x):
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.integer) \
+                and np.ndim(x) == 0:
+            return jnp.asarray(step, x.dtype)
+        return x
+    return jax.tree.map(bump, opt_state)
+
+
+def model_config_dict(args):
+    """The architecture hparams a serving-side ``TPUPredictor`` needs to
+    rebuild this exact model (recorded next to the checkpoints so the
+    train/serve boundary cannot drift — see ``predictor.restore``)."""
+    return {
+        'context_frames': args.context_frames,
+        'num_masks': args.num_masks,
+        'kernel_size': args.cdna_kernel_size,
+        'sna': not args.no_sna,
+        'dna': False,
+        'latent_dim': args.latent_dim,
+        'lstm_kernel': args.lstm_kernel,
+        'separable_lstm': args.separable_lstm,
+        'dtype': 'bfloat16' if args.bf16 else 'float32',
+        'adim': args.adim,
+        'sdim': args.sdim,
+        'sequence_length': args.sequence_length,
+        'img_dims': [args.image_height, args.image_width],
+    }
+
+
 def train(args):
     model = build_model(args)
     params = init_params(model, args)
     start_step = 0
-    if args.resume and args.model_dir:
-        view_dir = os.path.join(args.model_dir, 'view0')
-        latest = checkpoints.latest_checkpoint(view_dir)
-        if latest:
-            params = checkpoints.restore_params(view_dir, template=params)
-            start_step = int(latest.rsplit('_', 1)[1])
-            print('resumed from {} (step {})'.format(latest, start_step))
-    n_params = sum(x.size for x in jax.tree.leaves(params))
-    print('model params:', n_params)
 
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup_steps=min(200, args.steps // 10 + 1),
@@ -166,6 +189,33 @@ def train(args):
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(schedule, weight_decay=1e-5))
     opt_state = tx.init(params)
+
+    if args.resume and args.model_dir:
+        view_dir = os.path.join(args.model_dir, 'view0')
+        latest = checkpoints.latest_checkpoint(view_dir)
+        if latest:
+            params = checkpoints.restore_params(view_dir, template=params)
+            start_step = int(latest.rsplit('_', 1)[1])
+            opt_dir = os.path.join(args.model_dir, 'opt')
+            try:
+                opt_state = checkpoints.restore_params(
+                    opt_dir, template=opt_state, step=start_step)
+                print('resumed opt state at step {}'.format(start_step))
+            except FileNotFoundError:
+                # legacy checkpoint without optimizer state: keep Adam fresh
+                # but fast-forward the schedule so the LR is continuous
+                opt_state = _fast_forward_count(opt_state, start_step)
+                print('WARNING: no saved opt state; Adam moments reset, '
+                      'schedule fast-forwarded to step {}'.format(start_step))
+            print('resumed from {} (step {})'.format(latest, start_step))
+
+    if args.model_dir:
+        os.makedirs(args.model_dir, exist_ok=True)
+        with open(os.path.join(args.model_dir, 'model_config.json'), 'w') as f:
+            json.dump(model_config_dict(args), f, indent=1)
+
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print('model params:', n_params)
 
     mesh = make_mesh(args.n_devices if args.n_devices > 0 else None)
     bsh = batch_sharding(mesh)
@@ -204,11 +254,15 @@ def train(args):
                 step > 0 and step % args.ckpt_every == 0:
             checkpoints.save_params(jax.device_get(params),
                                     os.path.join(args.model_dir, 'view0'), step)
+            checkpoints.save_params(jax.device_get(opt_state),
+                                    os.path.join(args.model_dir, 'opt'), step)
 
     if args.model_dir:
         path = checkpoints.save_params(
             jax.device_get(params), os.path.join(args.model_dir, 'view0'),
             args.steps)
+        checkpoints.save_params(jax.device_get(opt_state),
+                                os.path.join(args.model_dir, 'opt'), args.steps)
         print('saved final checkpoint to', path)
     return history, params
 
@@ -231,7 +285,13 @@ def build_argparser():
     p.add_argument('--cdna_kernel_size', type=int, default=5)
     p.add_argument('--latent_dim', type=int, default=0)
     p.add_argument('--lstm_kernel', type=int, default=5)
-    p.add_argument('--separable_lstm', action='store_true', default=False)
+    # default matches the serving-side flagship (prediction/predictor.py
+    # DEFAULT_HPARAMS); checkpoints also record model_config.json so the
+    # predictor adopts whatever was trained even if flags drift
+    p.add_argument('--separable_lstm', action='store_true', default=True)
+    p.add_argument('--dense_lstm', dest='separable_lstm',
+                   action='store_false',
+                   help='dense 5x5 conv-LSTM gates (strict Finn-CDNA parity)')
     p.add_argument('--no_sna', action='store_true')
     p.add_argument('--bf16', action='store_true')
     p.add_argument('--state_weight', type=float, default=1e-4)
