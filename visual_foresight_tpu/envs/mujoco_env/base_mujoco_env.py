@@ -22,6 +22,12 @@ class BaseMujocoEnv(BaseEnv):
 
         self._model_path = model_path
         self._model = mujoco.MjModel.from_xml_path(model_path)
+        if not _hp.render_shadows:
+            # Shadow-map rasterization dominates offscreen rendering on
+            # software GL (~100 ms/frame with the default 4096^2 map vs
+            # ~1 ms without); shadows carry no task information for the
+            # 48x64 training frames, so they are off by default.
+            self._model.vis.quality.shadowsize = 0
         self._data = mujoco.MjData(self._model)
         mujoco.mj_forward(self._model, self._data)
         self._renderer = None
@@ -64,6 +70,7 @@ class BaseMujocoEnv(BaseEnv):
         parent_params.add_hparam('viewer_image_height', 480)
         parent_params.add_hparam('viewer_image_width', 640)
         parent_params.add_hparam('ncam', 1)
+        parent_params.add_hparam('render_shadows', False)
         return parent_params
 
     def set_goal_obj_pose(self, pose):
