@@ -40,10 +40,16 @@ def main():
     N_CTX = 2
     CHAIN = 20
 
-    predictor = TPUPredictor('', {
+    # flagship serving configuration: space-to-depth (r=4) backbone — every
+    # conv-LSTM gate is a lane-aligned >=128-channel matmul at 12x16/6x8, the
+    # CDNA warp/compositing runs at full 48x64 via shift-and-accumulate
+    # fusions (see docs/PERFORMANCE.md for the optimization ledger)
+    predictor = TPUPredictor('/root/data/models/xz_flagship', {
         'designated_pixel_count': P, 'run_batch_size': M,
         'sequence_length': T + N_CTX, 'context_frames': N_CTX, 'ncam': NCAM,
         'img_dims': (H, W), 'adim': 3, 'sdim': 3, 'dtype': 'bfloat16',
+        'std_factor': 4, 'enc_features': (128, 256, 256),
+        'separable_lstm': True, 'lstm_kernel': 3,
     })
     predictor.restore()
 
@@ -137,7 +143,7 @@ def main():
             'compile_s': round(compile_s, 1),
             'device': str(jax.devices()[0]),
             'config': '200 samples x 15 steps x 48x64, 3 CEM iters, '
-                      'separable conv-LSTM flagship',
+                      'space-to-depth conv-LSTM flagship (std_factor=4)',
         },
     }))
 

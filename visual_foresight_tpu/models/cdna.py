@@ -42,6 +42,22 @@ def _pallas_block(batch):
     return 1
 
 
+def space_to_depth(x, r):
+    """(B, H, W, C) -> (B, H/r, W/r, C*r*r); lossless resolution fold."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h // r, w // r, r * r * c)
+
+
+def depth_to_space(x, r):
+    """Inverse of :func:`space_to_depth`."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, r, r, c // (r * r))
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h * r, w * r, c // (r * r))
+
+
 class CDNAStep(nn.Module):
     """One prediction step with nn.scan-compatible (carry, x) signature."""
 
@@ -56,36 +72,90 @@ class CDNAStep(nn.Module):
     lstm_kernel: int = 5
     separable_lstm: bool = False
     use_pallas_warp: bool = False   # fused VMEM warp kernel (TPU only)
+    std_factor: int = 0         # >0: space-to-depth backbone (TPU fast path)
+    plan_mode: bool = False     # no teacher forcing: x carries ONLY actions
+    renorm_distribs: bool = True  # renormalize warped distributions per step
 
-    @nn.compact
-    def __call__(self, carry, x):
-        (lstm_states, prev_img, prev_distrib, prev_state,
-         first_image, first_distrib, latent) = carry
-        action, gt_image, gt_distrib, gt_state, use_gt = x
+    def _backbone_std(self, lstm_states, prev_img, cond):
+        """Space-to-depth backbone: the ENTIRE conv-LSTM stack runs at
+        (H/r, W/r) with wide (>=128) channel dims — every gate conv becomes
+        a lane-aligned matmul with tens of thousands of rows, which is the
+        shape the MXU wants.  ``space_to_depth`` is lossless, and the CDNA
+        warp/compositing still happens at full resolution, so motion
+        semantics are unchanged; only the features live on a coarser grid.
 
-        # teacher forcing / scheduled sampling: pick the network input
-        use_img = use_gt[:, None, None, None].astype(prev_img.dtype)
-        prev_img = use_img * gt_image.astype(prev_img.dtype) + \
-            (1.0 - use_img) * prev_img
-        prev_state = use_gt[:, None] * gt_state + \
-            (1.0 - use_gt[:, None]) * prev_state
-        if self.num_distribs:
-            prev_distrib = use_img.astype(prev_distrib.dtype) * \
-                gt_distrib.astype(prev_distrib.dtype) + \
-                (1.0 - use_img).astype(prev_distrib.dtype) * prev_distrib
+        Returns (new_lstm_states, h3, mask_logits_fullres, dna_logits)."""
+        r = self.std_factor
+        f1, f2 = self.enc_features[0], self.enc_features[1]
+        num_candidates = self.num_masks + (2 if self.sna else 1)
+        conv = lambda feat, k, s, name: nn.Conv(
+            feat, (k, k), strides=(s, s), padding='SAME', dtype=self.dtype,
+            name=name)
+        lstm = lambda feat, name: ConvLSTMCell(
+            feat, (self.lstm_kernel, self.lstm_kernel), dtype=self.dtype,
+            separable=self.separable_lstm, external_x=True, name=name)
+        (s1, s3, s4) = lstm_states
 
+        # lstm1's input projection is a 4x4/stride-4 conv straight from
+        # full-res pixels — mathematically identical to space_to_depth + a
+        # 1x1 projection, but the conv machinery tiles it on the MXU with no
+        # explicit lane-crossing transpose op on the hot path.
+        xg = nn.Conv(4 * f1, (r, r), strides=(r, r), padding='VALID',
+                     dtype=self.dtype, name='enc0')(
+                         prev_img.astype(self.dtype))              # H/r
+        s1, h1 = lstm(f1, 'lstm1')(s1, xg)
+        h1 = LayerNorm(name='ln1')(h1)
+
+        # action/state conditioning enters as an additive projection — exactly
+        # as expressive as the reference's concat+1x1 "smear" (the 1x1 mixing
+        # matrix merges into the gate projection) at one less matmul; the
+        # 3x3 conv bottlenecks at f2 before the 1x1 widens to the gates
+        enc1 = conv(f2, 3, 2, 'enc1')(h1)                         # H/(2r)
+        enc3 = conv(4 * f2, 1, 1, 'enc3')(enc1) + \
+            nn.Dense(4 * f2, dtype=self.dtype, name='cond_proj')(
+                cond.astype(self.dtype))[:, None, None, :]
+        s3, h3 = lstm(f2, 'lstm3')(s3, enc3)
+        h3 = LayerNorm(name='ln3')(h3)
+
+        # decode back to H/r: 1x1 conv + depth_to_space at the NARROW width
+        # (f1 per subpixel — the lane-crossing d2s transpose is the cost, so
+        # keep its tensor small), then a 1x1 widens to the lstm4 gates; the
+        # h1 skip enters additively through its own 1x1 projection
+        up = depth_to_space(conv(4 * f1, 1, 1, 'dec1')(h3), 2)     # H/r
+        gate_in = conv(4 * f1, 1, 1, 'dec1_gates')(up) + \
+            conv(4 * f1, 1, 1, 'skip1')(h1)
+        s4, h4 = lstm(f1, 'lstm4')(s4, gate_in)
+        h4 = LayerNorm(name='ln4')(h4)
+
+        # softmax BEFORE depth_to_space, grouped over the candidate axis of
+        # the (r*r, num_candidates) channel blocks — at (H/r, W/r) this is
+        # ~r^2 x less softmax traffic than at full resolution and the result
+        # moves to full res already normalized.
+        ml = conv(r * r * num_candidates, 1, 1, 'mask_head')(h4)
+        bm, hm, wm = ml.shape[:3]
+        ml = ml.reshape(bm, hm, wm, r * r, num_candidates)
+        masks = jax.nn.softmax(ml, axis=-1)
+        masks = depth_to_space(
+            masks.reshape(bm, hm, wm, -1).astype(self.dtype), r)
+        dna_logits = None
+        if self.dna:
+            dna_logits = depth_to_space(
+                conv(r * r * self.kernel_size ** 2, 1, 1, 'dna_head')(h4), r)
+        return (s1, s3, s4), h3, masks, dna_logits
+
+    def _backbone_classic(self, lstm_states, prev_img, cond):
+        """Finn-CDNA 3-scale encoder/decoder (architectural parity path)."""
         f1, f2, f3 = self.enc_features
+        num_candidates = self.num_masks + (2 if self.sna else 1)
         conv = lambda feat, k, s, name: nn.Conv(
             feat, (k, k), strides=(s, s), padding='SAME', dtype=self.dtype,
             name=name)
         deconv = lambda feat, name: nn.ConvTranspose(
             feat, (3, 3), strides=(2, 2), padding='SAME', dtype=self.dtype,
             name=name)
-
         lstm = lambda feat, name: ConvLSTMCell(
             feat, (self.lstm_kernel, self.lstm_kernel), dtype=self.dtype,
             separable=self.separable_lstm, name=name)
-
         (s1, s2, s3, s4, s5) = lstm_states
 
         enc0 = conv(f1, 5, 2, 'enc0')(prev_img.astype(self.dtype))     # H/2
@@ -100,8 +170,6 @@ class CDNAStep(nn.Module):
 
         enc2 = conv(f3, 3, 2, 'enc2')(h2)                               # H/8
 
-        sa = jnp.concatenate([prev_state, action], axis=-1)
-        cond = sa if latent is None else jnp.concatenate([sa, latent], -1)
         smear = jnp.tile(cond.astype(self.dtype)[:, None, None, :],
                          (1, enc2.shape[1], enc2.shape[2], 1))
         enc3 = conv(f3, 1, 1, 'enc3')(jnp.concatenate([enc2, smear], axis=-1))
@@ -122,12 +190,49 @@ class CDNAStep(nn.Module):
         dec3 = deconv(f1, 'dec3')(h5)                                   # H
         dec3 = LayerNorm(name='ln6')(dec3)
 
+        mask_logits = nn.Conv(num_candidates, (1, 1), dtype=self.dtype,
+                              name='mask_head')(dec3)
+        masks = jax.nn.softmax(mask_logits.astype(jnp.float32), axis=-1)
+        dna_logits = None
+        if self.dna:
+            dna_logits = nn.Conv(self.kernel_size ** 2, (1, 1),
+                                 dtype=self.dtype, name='dna_head')(dec3)
+        return (s1, s2, s3, s4, s5), h3, masks, dna_logits
+
+    @nn.compact
+    def __call__(self, carry, x):
+        (lstm_states, prev_img, prev_distrib, prev_state,
+         first_image, first_distrib, latent) = carry
+        if self.plan_mode:
+            # autoregressive planning: the carry already holds the input frame
+            # (encode_context seeds it with the final context frame), so the
+            # scan xs carry ONLY actions — no (T, B, H, W, C) ground-truth
+            # streams get broadcast/sliced per step.
+            action = x[0] if isinstance(x, tuple) else x
+        else:
+            action, gt_image, gt_distrib, gt_state, use_gt = x
+
+            # teacher forcing / scheduled sampling: pick the network input
+            use_img = use_gt[:, None, None, None].astype(prev_img.dtype)
+            prev_img = use_img * gt_image.astype(prev_img.dtype) + \
+                (1.0 - use_img) * prev_img
+            prev_state = use_gt[:, None] * gt_state + \
+                (1.0 - use_gt[:, None]) * prev_state
+            if self.num_distribs:
+                prev_distrib = use_img.astype(prev_distrib.dtype) * \
+                    gt_distrib.astype(prev_distrib.dtype) + \
+                    (1.0 - use_img).astype(prev_distrib.dtype) * prev_distrib
+
+        sa = jnp.concatenate([prev_state, action], axis=-1)
+        cond = sa if latent is None else jnp.concatenate([sa, latent], -1)
+
+        backbone = self._backbone_std if self.std_factor else \
+            self._backbone_classic
+        lstm_states, h3, masks, dna_logits = backbone(
+            lstm_states, prev_img, cond)
+
         # -- heads -------------------------------------------------------------
         b = prev_img.shape[0]
-        num_candidates = self.num_masks + (2 if self.sna else 1)
-        masks = nn.Conv(num_candidates, (1, 1), dtype=self.dtype,
-                        name='mask_head')(dec3)
-        masks = jax.nn.softmax(masks.astype(jnp.float32), axis=-1)
 
         # Collapse kernels + masks into one per-pixel effective kernel field —
         # compositing is linear, so this is exact and avoids materializing the
@@ -138,8 +243,7 @@ class CDNAStep(nn.Module):
         prev_c = prev_img.astype(self.dtype)
         eff_kernels, kernels = None, None
         if self.dna:
-            pk = nn.Conv(self.kernel_size ** 2, (1, 1), dtype=self.dtype,
-                         name='dna_head')(dec3)
+            pk = dna_logits
             pk = jax.nn.relu(pk.astype(jnp.float32) - 1e-12) + 1e-12
             pk = pk / jnp.sum(pk, -1, keepdims=True)
             eff_kernels = (pk * jnp.sum(masks[..., offset:], -1,
@@ -190,10 +294,16 @@ class CDNAStep(nn.Module):
                     gd = gd + first_distrib.astype(self.dtype) * \
                         masks_c[..., 1:2]
                 gd = gd + warped[..., prev_c.shape[-1]:]
-                total = jnp.sum(gd.astype(jnp.float32), axis=(1, 2),
-                                keepdims=True)
-                gen_distrib = (gd.astype(jnp.float32) /
-                               jnp.maximum(total, 1e-12)).astype(self.dtype)
+                if self.renorm_distribs:
+                    total = jnp.sum(gd.astype(jnp.float32), axis=(1, 2),
+                                    keepdims=True)
+                    gen_distrib = (gd.astype(jnp.float32) /
+                                   jnp.maximum(total, 1e-12)).astype(self.dtype)
+                else:
+                    # the planning cost normalizes per step anyway (reference
+                    # normalizes at cost time, pixel_cost_controller.py:180);
+                    # skipping the per-step full-res reduce saves HBM passes
+                    gen_distrib = gd
             else:
                 gen_image = gen_image + dna_warp(prev_c, eff_kernels)
 
@@ -201,7 +311,7 @@ class CDNAStep(nn.Module):
             sa.astype(jnp.float32))
         gen_state = prev_state + state_delta
 
-        new_carry = ((s1, s2, s3, s4, s5), gen_image, gen_distrib, gen_state,
+        new_carry = (lstm_states, gen_image, gen_distrib, gen_state,
                      first_image, first_distrib, latent)
         outs = (gen_image, gen_distrib if self.num_distribs else 0.0, gen_state)
         return new_carry, outs
@@ -242,13 +352,17 @@ class CDNAPredictor(nn.Module):
     lstm_kernel: int = 5
     separable_lstm: bool = False
     use_pallas_warp: bool = False
+    std_factor: int = 0
+    renorm_distribs: bool = True
 
-    def _make_step(self):
+    def _make_step(self, plan_mode=False):
         ScannedStep = nn.scan(
             CDNAStep,
             variable_broadcast='params',
             split_rngs={'params': False},
             in_axes=0, out_axes=0)
+        # plan_mode changes only the xs structure (no parameters), so both
+        # variants share the 'step' parameter scope.
         return ScannedStep(num_masks=self.num_masks,
                            kernel_size=self.kernel_size, sna=self.sna,
                            dna=self.dna, num_distribs=self.num_distribs,
@@ -256,7 +370,25 @@ class CDNAPredictor(nn.Module):
                            enc_features=self.enc_features,
                            lstm_kernel=self.lstm_kernel,
                            separable_lstm=self.separable_lstm,
-                           use_pallas_warp=self.use_pallas_warp, name='step')
+                           use_pallas_warp=self.use_pallas_warp,
+                           std_factor=self.std_factor,
+                           plan_mode=plan_mode,
+                           renorm_distribs=self.renorm_distribs, name='step')
+
+    def _initial_lstm_states(self, b, h, w):
+        init = ConvLSTMCell.initial_state
+        if self.std_factor:
+            r = self.std_factor
+            f1, f2 = self.enc_features[0], self.enc_features[1]
+            return (init(b, h // r, w // r, f1, self.dtype),
+                    init(b, h // (2 * r), w // (2 * r), f2, self.dtype),
+                    init(b, h // r, w // r, f1, self.dtype))
+        f1, f2, f3 = self.enc_features
+        return (init(b, h // 2, w // 2, f1, self.dtype),
+                init(b, h // 4, w // 4, f2, self.dtype),
+                init(b, h // 8, w // 8, f3, self.dtype),
+                init(b, h // 4, w // 4, f2, self.dtype),
+                init(b, h // 2, w // 2, f1, self.dtype))
 
     @nn.compact
     def encode_context(self, images, actions, states=None, distribs=None):
@@ -276,14 +408,7 @@ class CDNAPredictor(nn.Module):
         if states is None:
             states = jnp.zeros((b, n_in, self.sdim), jnp.float32)
 
-        f1, f2, f3 = self.enc_features
-        lstm_states = (
-            ConvLSTMCell.initial_state(b, h // 2, w // 2, f1, self.dtype),
-            ConvLSTMCell.initial_state(b, h // 4, w // 4, f2, self.dtype),
-            ConvLSTMCell.initial_state(b, h // 8, w // 8, f3, self.dtype),
-            ConvLSTMCell.initial_state(b, h // 4, w // 4, f2, self.dtype),
-            ConvLSTMCell.initial_state(b, h // 2, w // 2, f1, self.dtype),
-        )
+        lstm_states = self._initial_lstm_states(b, h, w)
         first_image = images[:, 0].astype(self.dtype)
         first_distrib = distribs[:, 0].astype(self.dtype) \
             if self.num_distribs else jnp.zeros((b, h, w, 0), self.dtype)
@@ -331,16 +456,13 @@ class CDNAPredictor(nn.Module):
             carry = (lstm_states, prev_img, prev_distrib, prev_state, fi, fd,
                      latent)
 
-        gt_mask = jnp.zeros((T, b), jnp.float32).at[0].set(1.0)
-        xs = (
-            jnp.swapaxes(actions.astype(jnp.float32), 0, 1),
-            jnp.broadcast_to(prev_img[None], (T,) + prev_img.shape),
-            jnp.broadcast_to(prev_distrib[None], (T,) + prev_distrib.shape)
-            if self.num_distribs else jnp.zeros((T, b, 0), self.dtype),
-            jnp.broadcast_to(prev_state[None], (T,) + prev_state.shape),
-            gt_mask,
-        )
-        _, (imgs_tm, distribs_tm, states_tm) = self._make_step()(carry, xs)
+        # plan-mode scan: xs carries ONLY the actions — the first input frame
+        # comes from the carry (encode_context seeded it with the final
+        # context frame), so no (T, B, H, W, C) ground-truth stream is ever
+        # broadcast into the scan.
+        xs = (jnp.swapaxes(actions.astype(jnp.float32), 0, 1),)
+        _, (imgs_tm, distribs_tm, states_tm) = \
+            self._make_step(plan_mode=True)(carry, xs)
         result = {
             'gen_images': jnp.swapaxes(imgs_tm, 0, 1).astype(jnp.float32),
             'gen_states': jnp.swapaxes(states_tm, 0, 1).astype(jnp.float32),
@@ -390,14 +512,7 @@ class CDNAPredictor(nn.Module):
             else:
                 latent = jax.random.normal(rng, (b, self.latent_dim))
 
-        f1, f2, f3 = self.enc_features
-        lstm_states = (
-            ConvLSTMCell.initial_state(b, h // 2, w // 2, f1, self.dtype),
-            ConvLSTMCell.initial_state(b, h // 4, w // 4, f2, self.dtype),
-            ConvLSTMCell.initial_state(b, h // 8, w // 8, f3, self.dtype),
-            ConvLSTMCell.initial_state(b, h // 4, w // 4, f2, self.dtype),
-            ConvLSTMCell.initial_state(b, h // 2, w // 2, f1, self.dtype),
-        )
+        lstm_states = self._initial_lstm_states(b, h, w)
 
         first_image = images[:, 0].astype(self.dtype)
         first_distrib = distribs[:, 0].astype(self.dtype) \

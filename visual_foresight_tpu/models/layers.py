@@ -30,18 +30,31 @@ class ConvLSTMCell(nn.Module):
     kernel_size: Tuple[int, int] = (5, 5)
     dtype: jnp.dtype = jnp.float32
     separable: bool = False
+    external_x: bool = False    # x IS the precomputed gate projection
 
     @nn.compact
     def __call__(self, state, x):
         c, h = state
-        xh = jnp.concatenate([x, h], axis=-1)
-        if self.separable:
+        if self.external_x:
+            # x is already a (B, H, W, 4*features) gate pre-activation
+            # computed by the caller (e.g. a strided conv straight from
+            # pixels); the cell adds the recurrent projection of h through
+            # a depthwise spatial mix + pointwise gate conv.  Avoids the
+            # concat([x, h]) materialization on the hot path.
+            dw = nn.Conv(h.shape[-1], self.kernel_size, padding='SAME',
+                         feature_group_count=h.shape[-1], dtype=self.dtype,
+                         name='gates_dw')(h)
+            gates = x + nn.Conv(4 * self.features, (1, 1), dtype=self.dtype,
+                                name='gates_pw')(dw)
+        elif self.separable:
+            xh = jnp.concatenate([x, h], axis=-1)
             dw = nn.Conv(xh.shape[-1], self.kernel_size, padding='SAME',
                          feature_group_count=xh.shape[-1], dtype=self.dtype,
                          name='gates_dw')(xh)
             gates = nn.Conv(4 * self.features, (1, 1), dtype=self.dtype,
                             name='gates_pw')(dw)
         else:
+            xh = jnp.concatenate([x, h], axis=-1)
             gates = nn.Conv(4 * self.features, self.kernel_size,
                             padding='SAME', dtype=self.dtype,
                             name='gates')(xh)

@@ -103,23 +103,44 @@ def effective_pixel_kernels(kernels, masks, mask_offset):
         exactly the compositing semantics)
     """
     b, ksize = kernels.shape[0], kernels.shape[1]
-    kflat = kernels.reshape(b, ksize * ksize, kernels.shape[3])
-    return jnp.einsum('bkm,bhwm->bhwk', kflat, masks[..., mask_offset:],
-                      preferred_element_type=jnp.float32)
+    m = kernels.shape[3]
+    kflat = kernels.reshape(b, ksize * ksize, m).astype(jnp.float32)
+    # Unrolled elementwise accumulation over the M kernels instead of an
+    # einsum: the dot_general/conv lowering of the (tiny, M<=10) contraction
+    # forces layout copies of the full-resolution mask tensor (measured
+    # ~13 ms/replan at 48x64/B=200); M broadcast-multiplies fuse into one
+    # loop fusion with no relayout.
+    out = jnp.zeros(masks.shape[:3] + (ksize * ksize,), jnp.float32)
+    for i in range(m):
+        out = out + masks[..., mask_offset + i, None].astype(jnp.float32) * \
+            kflat[:, None, None, :, i]
+    return out.astype(masks.dtype)
 
 
 def dna_warp(images, pixel_kernels):
     """DNA variant: a distinct kernel per output pixel.
+
+    Shift-and-accumulate formulation: ``out[h,w] = sum_(i,j)
+    img[h+i-pad, w+j-pad] * k[h,w,i*K+j]``, unrolled over the K*K taps so XLA
+    compiles ONE loop fusion that never materializes a patch tensor.  The
+    im2col alternative (``extract_patches`` + einsum) materializes a
+    (B,H,W,C*KK) float tensor — measured at 48x64/B=200 as ~100 ms/replan of
+    HBM traffic + relayout copies, vs ~2 ms for this form.
 
     :param images: (B, H, W, C)
     :param pixel_kernels: (B, H, W, K*K) normalized per-pixel kernels
     :return: (B, H, W, C)
     """
     ksize = int(round(pixel_kernels.shape[-1] ** 0.5))
-    patches = extract_patches(images, ksize)                # (B,H,W,C,KK)
-    out = jnp.einsum('bhwck,bhwk->bhwc', patches, pixel_kernels,
-                     preferred_element_type=jnp.float32,
-                     precision=_exact_precision(patches.dtype))
+    pad = ksize // 2
+    b, h, w, c = images.shape
+    x = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    out = jnp.zeros((b, h, w, c), jnp.float32)
+    for i in range(ksize):
+        for j in range(ksize):
+            tap = pixel_kernels[..., i * ksize + j, None]
+            out = out + x[:, i:i + h, j:j + w, :].astype(jnp.float32) * \
+                tap.astype(jnp.float32)
     return out.astype(images.dtype)
 
 

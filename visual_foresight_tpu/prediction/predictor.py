@@ -50,6 +50,16 @@ DEFAULT_HPARAMS = {
     # False for strict Finn-CDNA architectural parity)
     'separable_lstm': True,
     'lstm_kernel': 5,
+    # space-to-depth backbone (models/cdna.py _backbone_std): the whole
+    # conv-LSTM stack runs at (H/r, W/r) with >=128-channel, lane-aligned
+    # matmul shapes; 0 = classic 3-scale Finn topology.  The serving
+    # flagship is r=4 with wide features (set enc_features accordingly).
+    'std_factor': 0,
+    'enc_features': (32, 64, 128),
+    # serving skips the per-step distribution renorm (all cost paths
+    # normalize at cost time, matching reference semantics); training keeps
+    # it for loss stability
+    'renorm_distribs': False,
     # fused VMEM warp kernel (ops/pallas_cdna.py): verified against the
     # XLA path, but OPT-IN - the remote Mosaic compile service on this
     # dev box is unreliable; the XLA path is within ~1 ms/step of it
@@ -81,6 +91,9 @@ class TPUPredictor:
             lstm_kernel=hp['lstm_kernel'],
             separable_lstm=hp['separable_lstm'],
             use_pallas_warp=hp['use_pallas_warp'],
+            std_factor=hp['std_factor'],
+            enc_features=tuple(hp['enc_features']),
+            renorm_distribs=hp['renorm_distribs'],
             **(model_kwargs or {}))
 
         self.params = None          # list: one pytree per camera
@@ -118,7 +131,7 @@ class TPUPredictor:
     # the hparams dict is a serving-side choice
     _ARCH_KEYS = ('context_frames', 'num_masks', 'kernel_size', 'sna', 'dna',
                   'latent_dim', 'lstm_kernel', 'separable_lstm', 'adim',
-                  'sdim')
+                  'sdim', 'std_factor', 'enc_features')
 
     def _apply_model_config(self):
         """If the training run recorded a ``model_config.json`` next to the
@@ -132,6 +145,9 @@ class TPUPredictor:
             return
         with open(cfg_path) as f:
             cfg = json.load(f)
+        if 'enc_features' in cfg:
+            cfg['enc_features'] = tuple(cfg['enc_features'])
+        self._hp['enc_features'] = tuple(self._hp['enc_features'])
         changed = {k: cfg[k] for k in self._ARCH_KEYS
                    if k in cfg and cfg[k] != self._hp[k]}
         if not changed:
@@ -151,7 +167,10 @@ class TPUPredictor:
             sdim=self._hp['sdim'], adim=self._hp['adim'], dtype=dtype,
             lstm_kernel=self._hp['lstm_kernel'],
             separable_lstm=self._hp['separable_lstm'],
-            use_pallas_warp=self._hp['use_pallas_warp'])
+            use_pallas_warp=self._hp['use_pallas_warp'],
+            std_factor=self._hp['std_factor'],
+            enc_features=tuple(self._hp['enc_features']),
+            renorm_distribs=self._hp['renorm_distribs'])
 
     def restore(self):
         """Load per-camera params from model_path (orbax step dirs, one subdir

@@ -94,6 +94,8 @@ def build_model(args):
         latent_dim=args.latent_dim, num_distribs=0, sdim=args.sdim,
         adim=args.adim, lstm_kernel=args.lstm_kernel,
         separable_lstm=args.separable_lstm,
+        std_factor=args.std_factor,
+        enc_features=tuple(args.enc_features),
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
 
@@ -170,6 +172,8 @@ def model_config_dict(args):
         'latent_dim': args.latent_dim,
         'lstm_kernel': args.lstm_kernel,
         'separable_lstm': args.separable_lstm,
+        'std_factor': args.std_factor,
+        'enc_features': list(args.enc_features),
         'dtype': 'bfloat16' if args.bf16 else 'float32',
         'adim': args.adim,
         'sdim': args.sdim,
@@ -293,6 +297,12 @@ def build_argparser():
                    action='store_false',
                    help='dense 5x5 conv-LSTM gates (strict Finn-CDNA parity)')
     p.add_argument('--no_sna', action='store_true')
+    p.add_argument('--std_factor', type=int, default=0,
+                   help='>0: space-to-depth backbone at (H/r, W/r) — the '
+                        'TPU serving flagship uses 4 (see models/cdna.py '
+                        '_backbone_std)')
+    p.add_argument('--enc_features', type=int, nargs=3, default=(32, 64, 128),
+                   help='feature widths; the r=4 flagship uses 128 256 256')
     p.add_argument('--bf16', action='store_true')
     p.add_argument('--state_weight', type=float, default=1e-4)
     p.add_argument('--ss_k', type=float, default=900.0,
