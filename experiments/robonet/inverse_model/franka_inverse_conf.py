@@ -1,0 +1,57 @@
+"""Goal-image inverse-model control on the Franka
+(capability of reference ``experiments/robonet/inverse_model/franka_inverse_conf.py``)."""
+
+import os
+
+from visual_foresight_tpu.agent.benchmarking_agent import BenchmarkAgent
+from visual_foresight_tpu.envs.robot_envs.autograsp_env import AutograspEnv
+from visual_foresight_tpu.envs.robot_envs.util.topic_utils import IMTopic
+from visual_foresight_tpu.policy.inverse_models.inverse_model_base_controller import (
+    InvModelBaseController)
+
+BASE_DIR = '/'.join(str.split(__file__, '/')[:-1])
+current_dir = os.path.dirname(os.path.realpath(__file__))
+
+env_params = {
+    'robot_name': 'franka',
+    'robot_type': 'franka',
+    'gripper_attached': 'hand',
+    'camera_topics': [IMTopic('/front/image_raw')],
+    'cleanup_rate': -1,
+    'duration': 3.5,
+    'save_video': True,
+}
+
+agent = {
+    'type': BenchmarkAgent,
+    'env': (AutograspEnv, env_params),
+    'T': 15,
+    'image_height': 192,
+    'image_width': 256,
+    'make_final_recording': '',
+    'goal_image_only': '',
+    'no_goal_def': '',
+    'data_save_dir': BASE_DIR,
+}
+
+policy = {
+    'type': InvModelBaseController,
+    'model_params_path': os.environ.get('VMPC_INVMODEL_DIR',
+                                        BASE_DIR + '/invmodel_multibot'),
+    'model_restore_path': os.environ.get('VMPC_INVMODEL_DIR',
+                                         BASE_DIR + '/invmodel_multibot'),
+}
+
+config = {
+    'experiment_name': 'inverse-model-onestep-replan-10',
+    'traj_per_file': 128,
+    'current_dir': current_dir,
+    'save_data': True,
+    'save_raw_images': True,
+    'start_index': 0,
+    'end_index': 30000,
+    'agent': agent,
+    'policy': policy,
+    'ngroup': 1000,
+    'nshuffle': 200,
+}

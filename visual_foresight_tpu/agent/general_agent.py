@@ -1,9 +1,12 @@
-"""Rollout engine.
+"""Trajectory rollout engine.
 
-Drives the policy<->env loop for T steps, accumulates observations into fixed
-pre-allocated caches (images resized to the agent's operating resolution),
-retries failed trajectories, and attaches mandatory metadata
-(reference ``visual_mpc/agent/general_agent.py:55-228``).
+Mediates the policy <-> environment loop: runs T control steps, accumulates
+every observation stream into fixed-size history buffers (camera frames are
+resized down to the agent's operating resolution on ingest), retries
+trajectories that fail validity or rejection-sampling checks, and stamps the
+metadata the downstream record/benchmark pipeline requires.  Capability
+parity with the reference's ``visual_mpc/agent/general_agent.py``; the
+implementation is this framework's own.
 """
 
 import copy
@@ -16,24 +19,63 @@ from .utils.file_saver import start_file_worker
 
 
 class Bad_Traj_Exception(Exception):
-    pass
+    """Raised when every retry of a trajectory failed."""
 
 
 class Image_Exception(Exception):
-    pass
+    """Raised by camera/render plumbing on a bad frame; triggers a retry."""
 
 
 class Environment_Exception(Exception):
-    pass
+    """Raised by an env on an unrecoverable step; triggers a retry."""
+
+
+class _ObsAccumulator:
+    """Fixed-capacity per-key history buffers for one rollout.
+
+    ndarray streams get a preallocated ``(T+1, *shape)`` buffer; camera
+    frames additionally get resized to the agent resolution on write;
+    non-array values are kept in plain lists.  ``view()`` returns the
+    history-so-far slice for each key.
+    """
+
+    def __init__(self, first_obs, capacity, img_hw):
+        self._n = 0
+        self._store = {}
+        h, w = img_hw
+        for key, value in first_obs.items():
+            if key == 'images':
+                ncam = value.shape[0]
+                self._store[key] = np.zeros((capacity, ncam, h, w, 3),
+                                            np.uint8)
+            elif isinstance(value, np.ndarray):
+                self._store[key] = np.zeros((capacity,) + value.shape,
+                                            value.dtype)
+            else:
+                self._store[key] = []
+
+    def push(self, env_obs):
+        t = self._n
+        for key, value in env_obs.items():
+            buf = self._store[key]
+            if key == 'images':
+                resize_store(t, buf, value)
+            elif isinstance(buf, list):
+                buf.append(value)
+            else:
+                buf[t] = value
+        self._n += 1
+
+    def view(self):
+        return {k: buf[:self._n] for k, buf in self._store.items()}
 
 
 class GeneralAgent(object):
-    """All communication between algorithms and the environment goes through
-    this class."""
+    """Single chokepoint between algorithms and the environment."""
 
     def __init__(self, hyperparams, start_saver=True):
         self._hyperparams = hyperparams
-        self.T = self._hyperparams['T']
+        self.T = hyperparams['T']
         self._goal_obj_pose = None
         self._goal_image = None
         self._reset_state = None
@@ -41,149 +83,149 @@ class GeneralAgent(object):
         self._save_worker = start_file_worker() if start_saver else None
         self._setup_world(0)
 
+    # -- world / env lifecycle ---------------------------------------------
+
     def _setup_world(self, itr):
-        env_type, env_params = self._hyperparams['env']
-        self.env = env_type(env_params, self._reset_state)
-        self._hyperparams['adim'] = self.adim = self.env.adim
-        self._hyperparams['sdim'] = self.sdim = self.env.sdim
-        self._hyperparams['ncam'] = self.ncam = self.env.ncam
+        env_cls, env_params = self._hyperparams['env']
+        self.env = env_cls(env_params, self._reset_state)
+        # envs own the true dimensionalities; propagate them to the config
+        # so savers/policies read consistent values
+        self.adim = self._hyperparams['adim'] = self.env.adim
+        self.sdim = self._hyperparams['sdim'] = self.env.sdim
+        self.ncam = self._hyperparams['ncam'] = self.env.ncam
         self.num_objects = getattr(self.env, 'num_objects', None)
 
+    def _scene_regen_due(self, i_traj):
+        """Fresh MuJoCo scene XML every ``gen_xml`` trajectories (or every
+        trajectory when the key is absent); robots never regenerate."""
+        if self._is_robot or i_traj == 0:
+            return False
+        every = self._hyperparams.get('gen_xml')
+        return True if every is None else i_traj % every == 0
+
+    # -- public entry point --------------------------------------------------
+
     def sample(self, policy, i_traj):
-        """Run one trajectory (with retry-on-failure) and return
-        (agent_data, obs_dict, policy_outs)."""
-        if not self._is_robot:
-            if 'gen_xml' in self._hyperparams:
-                if i_traj % self._hyperparams['gen_xml'] == 0 and i_traj > 0:
-                    self._setup_world(i_traj)
-            elif i_traj > 0:
-                self._setup_world(i_traj)
+        """Collect one valid trajectory, retrying up to ``imax`` times.
 
-        traj_ok, obs_dict, policy_outs, agent_data = False, None, None, None
-        i_trial = 0
-        imax = self._hyperparams.get('imax', 100)
-        while not traj_ok and i_trial < imax:
-            i_trial += 1
+        :return: (agent_data, obs_dict, policy_outs)
+        """
+        if self._scene_regen_due(i_traj):
+            self._setup_world(i_traj)
+
+        max_attempts = self._hyperparams.get('imax', 100)
+        for i_trial in range(1, max_attempts + 1):
             try:
-                agent_data, obs_dict, policy_outs = self.rollout(policy, i_trial, i_traj)
-                traj_ok = agent_data['traj_ok']
+                agent_data, obs_dict, policy_outs = \
+                    self.rollout(policy, i_trial, i_traj)
             except (Image_Exception, Environment_Exception):
-                traj_ok = False
+                continue
+            if agent_data['traj_ok']:
+                print('needed {} trials'.format(i_trial))
+                return agent_data, obs_dict, policy_outs
+        raise Bad_Traj_Exception
 
-        if not traj_ok:
-            raise Bad_Traj_Exception
-        print('needed {} trials'.format(i_trial))
-        return agent_data, obs_dict, policy_outs
+    # -- observation bookkeeping ---------------------------------------------
 
     def _post_process_obs(self, env_obs, agent_data, initial_obs=False):
-        """Accumulate env observations into the fixed (T+1, ...) caches,
-        resizing camera frames to (image_height, image_width); return the
-        history-so-far view of each key."""
-        img_h = self._hyperparams['image_height']
+        """Ingest one env observation; return the history-so-far dict."""
         img_w = self._hyperparams['image_width']
-
         if initial_obs:
-            T = self._hyperparams['T'] + 1
-            self._agent_cache = {}
-            for k in env_obs:
-                if k == 'images':
-                    if 'obj_image_locations' in env_obs:
-                        self.traj_points = []
-                    n_cams = env_obs['images'].shape[0]
-                    self._agent_cache['images'] = np.zeros(
-                        (T, n_cams, img_h, img_w, 3), dtype=np.uint8)
-                elif isinstance(env_obs[k], np.ndarray):
-                    self._agent_cache[k] = np.zeros(
-                        tuple([T] + list(env_obs[k].shape)), dtype=env_obs[k].dtype)
-                else:
-                    self._agent_cache[k] = []
-            self._cache_cntr = 0
+            self._obs_accum = _ObsAccumulator(
+                env_obs, self.T + 1,
+                (self._hyperparams['image_height'], img_w))
+            if 'obj_image_locations' in env_obs:
+                self.traj_points = []
 
-        t = self._cache_cntr
-        self._cache_cntr += 1
-
-        point_target_width = float(self._hyperparams.get('point_space_width', img_w))
-        obs = {}
-        for k in env_obs:
-            if k == 'images':
-                self.large_images_traj.append(env_obs['images'][0])  # cam0 only, for gifs
-                resize_store(t, self._agent_cache['images'], env_obs['images'])
-            elif k == 'obj_image_locations':
-                self.traj_points.append(copy.deepcopy(env_obs['obj_image_locations'][0]))
-                env_obs['obj_image_locations'] = np.round(
-                    env_obs['obj_image_locations'] * point_target_width
-                    / env_obs['images'].shape[2]).astype(np.int64)
-                self._agent_cache['obj_image_locations'][t] = env_obs['obj_image_locations']
-            elif isinstance(env_obs[k], np.ndarray):
-                self._agent_cache[k][t] = env_obs[k]
-            else:
-                self._agent_cache[k].append(env_obs[k])
-            obs[k] = self._agent_cache[k][:self._cache_cntr]
-
+        point_width = float(self._hyperparams.get('point_space_width', img_w))
+        if 'images' in env_obs:
+            # full-res cam0 frames are kept aside for gif rendering
+            self.large_images_traj.append(env_obs['images'][0])
         if 'obj_image_locations' in env_obs:
+            self.traj_points.append(
+                copy.deepcopy(env_obs['obj_image_locations'][0]))
+            # designated points move from raw-render to point-space coords
+            raw_width = env_obs['images'].shape[2]
+            scaled = env_obs['obj_image_locations'] * point_width / raw_width
+            env_obs['obj_image_locations'] = \
+                np.round(scaled).astype(np.int64)
             agent_data['desig_pix'] = env_obs['obj_image_locations']
+
+        self._obs_accum.push(env_obs)
+        obs = self._obs_accum.view()
+
         if self._goal_image is not None:
             agent_data['goal_image'] = self._goal_image
         if self._goal_obj_pose is not None:
             agent_data['goal_pos'] = self._goal_obj_pose
-            agent_data['goal_pix'] = self.env.get_goal_pix(point_target_width)
+            agent_data['goal_pix'] = self.env.get_goal_pix(point_width)
         if self._reset_state is not None:
             agent_data['reset_state'] = self._reset_state
             obs['reset_state'] = self._reset_state
-
         return obs
 
-    def _required_rollout_metadata(self, agent_data, traj_ok, t, i_traj, i_tr, reset_state):
-        """Metadata the downstream pipeline depends on: term_t, goal_reached,
-        traj_ok (reference ``general_agent.py:155-172``)."""
+    def _required_rollout_metadata(self, agent_data, traj_ok, t, i_traj, i_tr,
+                                   reset_state):
+        """Metadata MANDATORY for the downstream pipeline: ``term_t``,
+        ``goal_reached`` (when the env defines a goal), ``traj_ok``."""
         agent_data['term_t'] = t - 1
+        agent_data['traj_ok'] = traj_ok
         if self.env.has_goal():
             agent_data['goal_reached'] = self.env.goal_reached()
-        agent_data['traj_ok'] = traj_ok
-
         if self._hyperparams.get('save_reset_data', False):
             agent_data['reset_state'] = reset_state
-
-        if 'make_final_recording' in self._hyperparams and self._save_worker is not None:
+        if 'make_final_recording' in self._hyperparams and \
+                self._save_worker is not None:
             self._save_worker.put(('path', self.record_path))
             self.env.save_recording(self._save_worker, i_traj)
 
+    # -- the rollout loop -----------------------------------------------------
+
+    def _early_reject(self, i_trial):
+        """Mid-rollout rejection (``rejection_end_early``): abandon as soon
+        as the goal check fails while rejection budget remains."""
+        if 'rejection_end_early' not in self._hyperparams:
+            return False
+        return self._hyperparams.get('rejection_sample', 0) > i_trial and \
+            not self.env.goal_reached()
+
     def rollout(self, policy, i_trial, i_traj):
+        """Run the policy for T steps.
+
+        :return: (agent_data, obs history dict, list of per-step policy
+            outputs).  Record savers assume every value in these is an
+            ndarray or a primitive.
+        """
         self._init()
         agent_data, policy_outputs = {}, []
 
-        t = 0
-        done = self._hyperparams['T'] <= 0
-        initial_env_obs, reset_state = self.env.reset()
-        obs = self._post_process_obs(initial_env_obs, agent_data, True)
+        first_obs, reset_state = self.env.reset()
+        obs = self._post_process_obs(first_obs, agent_data, initial_obs=True)
         policy.reset()
 
-        while not done:
-            pi_t = policy.act(**get_policy_args(policy, obs, t, i_traj, agent_data))
+        t = 0
+        while t < self.T:
+            pi_t = policy.act(
+                **get_policy_args(policy, obs, t, i_traj, agent_data))
             policy_outputs.append(pi_t)
-
-            obs = self._post_process_obs(
-                self.env.step(copy.deepcopy(pi_t['actions'])), agent_data)
-
-            if 'rejection_sample' in self._hyperparams and \
-                    'rejection_end_early' in self._hyperparams:
-                if self._hyperparams['rejection_sample'] > i_trial and \
-                        not self.env.goal_reached():
-                    print('traj rejected!')
-                    return {'traj_ok': False}, None, None
-
-            if (self._hyperparams['T'] - 1) == t:
-                done = True
+            env_obs = self.env.step(copy.deepcopy(pi_t['actions']))
+            obs = self._post_process_obs(env_obs, agent_data)
             t += 1
+            if 'rejection_sample' in self._hyperparams and \
+                    self._early_reject(i_trial):
+                print('traj rejected!')
+                return {'traj_ok': False}, None, None
 
         traj_ok = self.env.valid_rollout()
         if 'rejection_sample' in self._hyperparams:
             if self._hyperparams['rejection_sample'] > i_trial:
-                assert self.env.has_goal(), 'rejection sampling requires a goal'
+                assert self.env.has_goal(), \
+                    'rejection sampling requires a goal'
                 traj_ok = self.env.goal_reached()
             print('goal_reached', self.env.goal_reached())
 
-        self._required_rollout_metadata(agent_data, traj_ok, t, i_traj, i_trial, reset_state)
+        self._required_rollout_metadata(agent_data, traj_ok, t, i_traj,
+                                        i_trial, reset_state)
         return agent_data, obs, policy_outputs
 
     def _init(self):

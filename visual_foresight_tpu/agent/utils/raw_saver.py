@@ -13,13 +13,17 @@ import cv2
 
 
 class RawSaver:
-    def __init__(self, save_dir, ngroup=1000):
+    def __init__(self, save_dir, ngroup=1000, subdir='raw'):
         self.save_dir = save_dir
         self.ngroup = ngroup
+        # '' places groups directly under save_dir (sim collection layout);
+        # the default 'raw' matches the robot/benchmark layout
+        self.subdir = subdir
 
     def save_traj(self, itr, agent_data=None, obs_dict=None, policy_outputs=None):
         igrp = itr // self.ngroup
-        group_folder = os.path.join(self.save_dir, 'raw', 'traj_group{}'.format(igrp))
+        group_folder = os.path.join(self.save_dir, self.subdir,
+                                    'traj_group{}'.format(igrp))
         os.makedirs(group_folder, exist_ok=True)
 
         traj_folder = os.path.join(group_folder, 'traj{}'.format(itr))
