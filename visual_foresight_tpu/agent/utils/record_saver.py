@@ -102,7 +102,8 @@ class RecordSaver:
     def add_sequence_entry(self, key, shape, dtype):
         if self._T is None:
             raise ValueError('sequence_length not set during construction!')
-        assert dtype in ('Float', 'Int', 'Byte'), 'invalid type {}'.format(dtype)
+        assert dtype in ('Float', 'Int', 'Byte', 'Jpeg'), \
+            'invalid type {}'.format(dtype)
         if self._sequence_keys is None:
             self._sequence_keys = OrderedDict()
         self._sequence_keys[key] = (shape, dtype)

@@ -57,14 +57,28 @@ def _get_shape(datum):
     return (1,)
 
 
+def jpeg_encode(rgb_frame, quality=92):
+    """uint8 HWC RGB frame -> JPEG bytes (libjpeg-turbo via OpenCV)."""
+    import cv2
+    ok, buf = cv2.imencode('.jpg', rgb_frame[..., ::-1],
+                           [int(cv2.IMWRITE_JPEG_QUALITY), quality])
+    if not ok:
+        raise ValueError('JPEG encode failed for frame {}'.format(
+            rgb_frame.shape))
+    return buf.tobytes()
+
+
 class GeneralAgentSaver:
     """Serializes trajectories and hands them to RecordSaver(s); optionally
     routes goal-reached trajs into a separate 'good' dataset."""
 
     def __init__(self, save_dir, sequence_length, seperate_good=False,
-                 traj_per_file=128, offset=0, split=(0.90, 0.05, 0.05)):
+                 traj_per_file=128, offset=0, split=(0.90, 0.05, 0.05),
+                 image_coding='raw'):
+        assert image_coding in ('raw', 'jpeg'), image_coding
         self._base_dir = save_dir
         self._seperate_good = seperate_good
+        self._image_coding = image_coding
         self._manifest_saved, self._T = False, sequence_length
 
         if seperate_good:
@@ -106,10 +120,12 @@ class GeneralAgentSaver:
             if obs is not None:
                 for k in obs:
                     if k == 'images':
+                        img_dtype = ('Jpeg' if self._image_coding == 'jpeg'
+                                     else get_dtype(obs[k][0, 0]))
                         for c in range(obs[k].shape[1]):
                             s.add_sequence_entry('env/image_view{}/encoded'.format(c),
                                                  _get_shape(obs[k][0, 0]),
-                                                 get_dtype(obs[k][0, 0]))
+                                                 img_dtype)
                     else:
                         s.add_sequence_entry('env/{}'.format(k), _get_shape(obs[k][0]),
                                              get_dtype(obs[k][0]))
@@ -140,8 +156,12 @@ class GeneralAgentSaver:
             for k in obs:
                 if k == 'images':
                     for c in range(obs[k].shape[1]):
-                        step_dict['env/image_view{}/encoded'.format(c)] = \
-                            convert_datum(obs[k][t, c])
+                        frame = obs[k][t, c]
+                        if self._image_coding == 'jpeg':
+                            feat = bytes_feature(jpeg_encode(frame))
+                        else:
+                            feat = convert_datum(frame)
+                        step_dict['env/image_view{}/encoded'.format(c)] = feat
                 else:
                     step_dict['env/{}'.format(k)] = convert_datum(obs[k][t])
             if len(policy_out) > t:
@@ -171,13 +191,13 @@ class GeneralAgentSaver:
 
 
 def record_worker(queue, save_dir, sequence_length, seperate_good, traj_per_file,
-                  offset=0, split=(0.90, 0.05, 0.05)):
+                  offset=0, split=(0.90, 0.05, 0.05), image_coding='raw'):
     """Saver-process main loop: drain (agent_data, obs, policy_out) tuples until
     a ``None`` sentinel arrives, then flush."""
     print('started saver with PID:', os.getpid())
     print('saving to {}'.format(save_dir))
     saver = GeneralAgentSaver(save_dir, sequence_length, seperate_good,
-                              traj_per_file, offset, split)
+                              traj_per_file, offset, split, image_coding)
     counter = 0
     data = queue.get(True)
     while data is not None:

@@ -17,6 +17,7 @@ import pickle as pkl
 import queue
 import random
 import threading
+import weakref
 
 import numpy as np
 
@@ -29,6 +30,16 @@ def _mult_elems(tup):
     for t in tup:
         prod *= t
     return prod
+
+
+def _stop_producers(producers):
+    """Signal and join prefetch threads (module-level so weakref.finalize
+    holds no reference to the dataset itself)."""
+    for stop, _ in producers:
+        stop.set()
+    for _, thread in producers:
+        thread.join(timeout=3.0)
+    del producers[:]
 
 
 class BaseVideoDataset:
@@ -52,6 +63,13 @@ class BaseVideoDataset:
                 print('Warning: dataset has no files for mode {}'.format(m))
         self._iterators = {}
         self._current = {}   # mode -> (batch dict, keys served from it)
+        # producer bookkeeping: threads must be stopped before interpreter
+        # teardown — a daemon thread abandoned inside native decode code
+        # (cv2) aborts process exit when other shared libraries shift the
+        # fini order.  weakref.finalize runs at gc or exit, whichever first.
+        self._producers = []
+        self._finalizer = weakref.finalize(
+            self, _stop_producers, self._producers)
 
     @staticmethod
     def _get_default_hparams():
@@ -90,6 +108,12 @@ class BaseVideoDataset:
             assert kind == 'bytes'
             arr = np.frombuffer(values[0], dtype=np.uint8)
             return arr.reshape(shape)
+        if dtype == 'Jpeg':
+            import cv2
+            assert kind == 'bytes'
+            buf = np.frombuffer(values[0], dtype=np.uint8)
+            bgr = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            return bgr[..., ::-1]  # stored as RGB-content JPEG
         if dtype == 'Float':
             return np.asarray(values, dtype=np.float32).reshape(shape)
         if dtype == 'Int':
@@ -129,21 +153,36 @@ class BaseVideoDataset:
         """Background-thread prefetching batch generator."""
         q = queue.Queue(maxsize=4)
         sentinel = object()
+        stop = threading.Event()
+
+        def interruptible_put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             batch = []
             try:
                 for traj in self._traj_stream(mode):
+                    if stop.is_set():
+                        return
                     batch.append(traj)
                     if len(batch) == self._batch_size:
                         collated = {
                             k: np.stack([b[k] for b in batch]) for k in batch[0]}
-                        q.put(collated)
+                        if not interruptible_put(collated):
+                            return
                         batch = []
             finally:
-                q.put(sentinel)
+                interruptible_put(sentinel)
 
-        threading.Thread(target=producer, daemon=True).start()
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        self._producers.append((stop, thread))
         while True:
             item = q.get()
             if item is sentinel:
@@ -208,6 +247,10 @@ class BaseVideoDataset:
             key, mode = item
             return self.get(key, mode)
         return self.get(item)
+
+    def close(self):
+        """Stop prefetch threads; safe to call more than once."""
+        _stop_producers(self._producers)
 
     @property
     def batch_size(self):

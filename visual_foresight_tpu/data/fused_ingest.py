@@ -1,0 +1,200 @@
+"""Fused-ingest loader: native host decode + in-jit device ingest.
+
+This is the scale path of the data pipeline (north star: the reference's
+``tf.data`` reader — ``examples/dataset_reader.py:43-152`` — becomes a loader
+with JPEG decode, resize, and normalize fused into device ingest).  Split of
+responsibilities:
+
+* **Host (C++, ``native/ingest.cpp``)**: streaming GZIP TFRecord shards,
+  ``tf.train.Example`` parsing of only the training keys, JPEG/raw image
+  decode (+ bilinear resize when shard resolution differs), trajectory
+  shuffle pool, batch assembly into caller-owned numpy buffers.  Bound with
+  ctypes — no TF, no pybind11.
+* **Device (``device_ingest`` below)**: uint8 → compute-dtype cast and
+  [0, 1] normalize INSIDE the jitted train step, where XLA fuses it into the
+  first convolution.  Batches cross PCIe/ICI as uint8 — 4× less transfer
+  than the float pipeline.
+
+Falls back loudly to the pure-Python ``BaseVideoDataset`` when the shared
+library cannot be built (no g++), keeping the API identical.
+"""
+
+import ctypes
+import glob
+import os
+import pickle as pkl
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), '..', 'native')
+_LIB_PATH = os.path.join(_NATIVE_DIR, 'libingest.so')
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load_library():
+    """Build (if needed) and dlopen the ingest library once per process."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        src = os.path.join(_NATIVE_DIR, 'ingest.cpp')
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)):
+            subprocess.run(['make', '-C', _NATIVE_DIR, 'libingest.so'],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.vfi_open.restype = ctypes.c_void_p
+        lib.vfi_open.argtypes = [ctypes.c_char_p]
+        lib.vfi_next.restype = ctypes.c_int
+        lib.vfi_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_void_p, ctypes.c_void_p]
+        lib.vfi_frames_decoded.restype = ctypes.c_double
+        lib.vfi_frames_decoded.argtypes = [ctypes.c_void_p]
+        lib.vfi_error.restype = ctypes.c_char_p
+        lib.vfi_error.argtypes = [ctypes.c_void_p]
+        lib.vfi_close.restype = None
+        lib.vfi_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available():
+    try:
+        _load_library()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+class FusedTrajLoader:
+    """Iterator of ``{'images': u8 (B,T,ncam,H,W,3), 'actions': f32 (B,T,adim),
+    'state': f32 (B,T,sdim)}`` batches drawn by the native engine.
+
+    ``image_hw`` overrides the manifest resolution (the native engine resizes
+    JPEG shards on the fly); raw shards must already match the manifest.
+    """
+
+    def __init__(self, directory, batch_size, mode='train', num_epochs=0,
+                 shuffle=True, threads=2, seed=1234, image_hw=None,
+                 pool_size=256):
+        manifest_path = os.path.join(directory, 'manifest.pkl')
+        if not os.path.isfile(manifest_path):
+            raise FileNotFoundError('no manifest.pkl in {}'.format(directory))
+        with open(manifest_path, 'rb') as f:
+            manifest = pkl.load(f)
+        seq = manifest['sequence_data']
+        self._T = manifest['T']
+        self._batch = batch_size
+
+        image_keys = sorted(k for k in seq if '/encoded' in k)
+        if not image_keys:
+            raise ValueError('no image keys in manifest: {}'.format(list(seq)))
+        self._ncam = len(image_keys)
+        ih, iw = seq[image_keys[0]][0][:2]
+        if image_hw is not None:
+            ih, iw = image_hw
+        self._hw = (ih, iw)
+        self._sdim = int(np.prod(seq['env/state'][0]))
+        self._adim = int(np.prod(seq['policy/actions'][0]))
+
+        files = sorted(glob.glob(os.path.join(directory, mode, '*.tfrecords')))
+        if not files:
+            raise FileNotFoundError('no {} tfrecords under {}'.format(
+                mode, directory))
+        self._files = files
+
+        lines = [
+            'batch {}'.format(batch_size),
+            'T {}'.format(self._T),
+            'ncam {}'.format(self._ncam),
+            'height {} width {}'.format(ih, iw),
+            'adim {} sdim {}'.format(self._adim, self._sdim),
+            'threads {}'.format(threads),
+            'shuffle {}'.format(1 if shuffle else 0),
+            'num_epochs {}'.format(num_epochs),
+            'pool_size {}'.format(pool_size),
+            'seed {}'.format(seed),
+            'image_key {}'.format(
+                image_keys[0].replace('view0', 'view{c}')),
+        ] + ['file {}'.format(f) for f in files]
+        lib = _load_library()
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.vfi_open('\n'.join(lines).encode()))
+        err = lib.vfi_error(self._h)
+        if err:
+            raise RuntimeError('ingest engine: {}'.format(err.decode()))
+
+        B, T, N = batch_size, self._T, self._ncam
+        self._img = np.empty((B, T, N, ih, iw, 3), np.uint8)
+        self._state = np.empty((B, T, self._sdim), np.float32)
+        self._act = np.empty((B, T, self._adim), np.float32)
+
+    @property
+    def sequence_length(self):
+        return self._T
+
+    @property
+    def num_files(self):
+        return len(self._files)
+
+    def frames_decoded(self):
+        return float(self._lib.vfi_frames_decoded(self._h))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        rc = self._lib.vfi_next(
+            self._h,
+            self._img.ctypes.data_as(ctypes.c_void_p),
+            self._state.ctypes.data_as(ctypes.c_void_p),
+            self._act.ctypes.data_as(ctypes.c_void_p))
+        if rc == 1:
+            raise StopIteration
+        if rc != 0:
+            raise RuntimeError('ingest engine: {}'.format(
+                self._lib.vfi_error(self._h).decode() or 'rc={}'.format(rc)))
+        # copies: the engine refills these buffers on the next call
+        return {'images': self._img.copy(), 'state': self._state.copy(),
+                'actions': self._act.copy()}
+
+    def close(self):
+        if self._h:
+            self._lib.vfi_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def device_ingest(images_u8, dtype):
+    """The device half of the fused pipeline: uint8 HWC frames → [0,1] in the
+    compute dtype.  Call INSIDE the jitted step so XLA fuses the cast/scale
+    into the consumer (typically the encoder's first conv)."""
+    import jax.numpy as jnp
+    return images_u8.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
+
+
+def make_loader(directory, batch_size, mode='train', prefer_native=True,
+                **kwargs):
+    """Return a batch iterator: native fused loader when available, else the
+    threaded pure-Python reader (same dict schema, images as uint8)."""
+    if prefer_native and native_available():
+        return FusedTrajLoader(directory, batch_size, mode=mode, **kwargs)
+    from .dataset_reader import BaseVideoDataset
+    print('WARNING: native ingest unavailable; using pure-Python reader')
+    ds = BaseVideoDataset(directory, batch_size)
+
+    def gen():
+        for batch in ds.numpy_iterator(keys=('images', 'actions', 'state'),
+                                       mode=mode):
+            yield {'images': batch['images'], 'actions': batch['actions'],
+                   'state': batch['state']}
+    return gen()

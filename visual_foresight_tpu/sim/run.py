@@ -173,7 +173,9 @@ def prepare_saver(hyperparams):
                   hyperparams['agent']['T'],
                   hyperparams.get('seperate_good', False),
                   hyperparams.get('traj_per_file', 16),
-                  hyperparams['start_index']))
+                  hyperparams['start_index'],
+                  (0.90, 0.05, 0.05),
+                  hyperparams.get('image_coding', 'raw')))
         saver_proc.start()
     return record_queue, saver_proc, counter
 

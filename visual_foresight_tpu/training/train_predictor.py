@@ -46,7 +46,11 @@ def scheduled_sampling_mask(key, step, T, batch, n_context, k=900.0):
 def make_loss_fn(model, n_context, state_weight=1e-4, l1_weight=0.0,
                  ss_k=900.0):
     def loss_fn(params, batch, rng, step):
-        images = batch['images']          # (B, T+1, H, W, C) float [0,1]
+        images = batch['images']          # (B, T+1, H, W, C) float [0,1] or u8
+        if images.dtype == jnp.uint8:
+            # fused device ingest: batches cross the wire as uint8 and the
+            # cast/normalize fuses into the encoder's first conv under jit
+            images = images.astype(jnp.float32) * (1.0 / 255.0)
         actions = batch['actions']        # (B, T, adim)
         states = batch['states']          # (B, T+1, sdim)
         B, Tp1 = images.shape[:2]
@@ -133,14 +137,23 @@ def synthetic_batches(args, seed=0):
 
 
 def record_batches(args):
-    """Batches from collected TFRecords via the dataset reader."""
-    from visual_foresight_tpu.data.dataset_reader import BaseVideoDataset
-    ds = BaseVideoDataset(args.data_dir, args.batch_size)
-    for batch in ds.numpy_iterator(keys=('images', 'actions', 'state')):
-        images = batch['images'].astype(np.float32) / 255.0
+    """Batches from collected TFRecords.
+
+    Default path is the fused-ingest pipeline (``data/fused_ingest.py``):
+    native C++ decode on the host, uint8 across the wire, normalize fused
+    into the jitted step.  ``--loader python`` forces the threaded
+    pure-Python reader (float path, for debugging/parity)."""
+    from visual_foresight_tpu.data import fused_ingest
+    prefer_native = args.loader != 'python'
+    loader = fused_ingest.make_loader(
+        args.data_dir, args.batch_size, prefer_native=prefer_native,
+        threads=args.loader_threads, seed=args.seed)
+    for batch in loader:
+        images = batch['images']          # (B, T, ncam, H, W, 3) uint8
         cam = min(args.camera, images.shape[2] - 1)
         yield {
-            'images': images[:, :args.sequence_length, cam],
+            'images': np.ascontiguousarray(
+                images[:, :args.sequence_length, cam]),
             'actions': batch['actions'][:, :args.sequence_length - 1]
             .astype(np.float32),
             'states': batch['state'][:, :args.sequence_length]
@@ -310,6 +323,10 @@ def build_argparser():
                         'k/(k+exp(step/k)) — match to the step budget')
     p.add_argument('--l1_weight', type=float, default=0.0)
     p.add_argument('--camera', type=int, default=0)
+    p.add_argument('--loader', choices=('fused', 'python'), default='fused',
+                   help='fused: native C++ ingest + in-jit normalize; '
+                        'python: threaded pure-Python reader')
+    p.add_argument('--loader_threads', type=int, default=2)
     p.add_argument('--n_devices', type=int, default=-1)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--log_every', type=int, default=20)
