@@ -172,19 +172,47 @@ class TPUPredictor:
             enc_features=tuple(self._hp['enc_features']),
             renorm_distribs=self._hp['renorm_distribs'])
 
+    @staticmethod
+    def _latest_tf1_prefix(view_dir):
+        """Highest-step TF1 bundle prefix (``model-<N>.index``) in view_dir,
+        or None — the reference's latest-iteration glob applied to TF1
+        checkpoints (``setup_predictor.py:12-28``)."""
+        import glob as globlib
+        best, best_step = None, -1
+        for idx in globlib.glob(os.path.join(view_dir, '*.index')):
+            prefix = idx[:-len('.index')]
+            digits = ''.join(ch for ch in prefix.rsplit('-', 1)[-1]
+                             if ch.isdigit())
+            step = int(digits) if digits else 0
+            if step > best_step:
+                best, best_step = prefix, step
+        return best
+
     def restore(self):
-        """Load per-camera params from model_path (orbax step dirs, one subdir
-        per view: ``view0/``, ``view1/`` …).  Missing checkpoints fall back to
-        randomly initialized params with a loud warning (useful for
-        benchmarking the compute path before training finishes)."""
+        """Load per-camera params from model_path (one subdir per view:
+        ``view0/``, ``view1/`` …).  Each view dir may hold orbax step dirs or
+        a TF1 TensorBundle (``model-<N>.index`` + data shards) — the latter
+        is imported TF-free via ``tf1_import`` with the reference's
+        suffix-matching semantics.  Missing checkpoints fall back to randomly
+        initialized params with a loud warning (useful for benchmarking the
+        compute path before training finishes)."""
         self._apply_model_config()
         template = self._init_params()
         self.params = []
         for c in range(self.n_cam):
             view_dir = os.path.join(str(self._model_path), 'view{}'.format(c))
+            tf1_prefix = self._latest_tf1_prefix(view_dir)
             try:
-                params = checkpoints.restore_params(view_dir, template=template)
-                print('restored predictor params from {}'.format(view_dir))
+                if tf1_prefix is not None:
+                    from . import tf1_import
+                    params, report = tf1_import.import_tf1_checkpoint(
+                        tf1_prefix, template)
+                    print('imported TF1 checkpoint {} ({} tensors)'.format(
+                        tf1_prefix, len(report['matched'])))
+                else:
+                    params = checkpoints.restore_params(view_dir,
+                                                        template=template)
+                    print('restored predictor params from {}'.format(view_dir))
             except (FileNotFoundError, Exception) as e:  # noqa: B902
                 if isinstance(e, FileNotFoundError):
                     print('WARNING: no checkpoint at {}; using random init'
