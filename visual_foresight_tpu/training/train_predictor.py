@@ -137,17 +137,26 @@ def synthetic_batches(args, seed=0):
 
 
 def record_batches(args):
-    """Batches from collected TFRecords.
+    """Batches from collected TFRecords or RoboNet-format HDF5.
 
-    Default path is the fused-ingest pipeline (``data/fused_ingest.py``):
-    native C++ decode on the host, uint8 across the wire, normalize fused
-    into the jitted step.  ``--loader python`` forces the threaded
-    pure-Python reader (float path, for debugging/parity)."""
-    from visual_foresight_tpu.data import fused_ingest
-    prefer_native = args.loader != 'python'
-    loader = fused_ingest.make_loader(
-        args.data_dir, args.batch_size, prefer_native=prefer_native,
-        threads=args.loader_threads, seed=args.seed)
+    TFRecord dirs (detected by ``manifest.pkl``) go through the fused-ingest
+    pipeline (``data/fused_ingest.py``): native C++ decode on the host,
+    uint8 across the wire, normalize fused into the jitted step; ``--loader
+    python`` forces the threaded pure-Python reader.  Directories holding
+    HDF5 trajectories (RoboNet traj-per-file or the bucketed HDF5Saver
+    layout) go through ``data/robonet_reader``, feeding the same uint8
+    device-ingest path."""
+    if not os.path.isfile(os.path.join(args.data_dir, 'manifest.pkl')):
+        from visual_foresight_tpu.data.robonet_reader import RoboNetTrajReader
+        loader = RoboNetTrajReader(args.data_dir, args.batch_size,
+                                   sequence_length=args.sequence_length,
+                                   seed=args.seed)
+    else:
+        from visual_foresight_tpu.data import fused_ingest
+        prefer_native = args.loader != 'python'
+        loader = fused_ingest.make_loader(
+            args.data_dir, args.batch_size, prefer_native=prefer_native,
+            threads=args.loader_threads, seed=args.seed)
     for batch in loader:
         images = batch['images']          # (B, T, ncam, H, W, 3) uint8
         cam = min(args.camera, images.shape[2] - 1)
