@@ -262,3 +262,26 @@ def test_registration_tradeoff_and_tracking():
     gen[1, :, 0, FAR_LOC[0], FAR_LOC[1], :] = 1.0     # plan 1: far away
     costs = ctrl._eval_pixel_cost(0, gen, None)
     assert costs[0] < costs[1]
+
+
+def test_registration_fused_grids_weighted():
+    """The fused planner consumes tradeoff-scaled distance grids: scaling is
+    exactly the host path's weighted cost (linearity), so a designated pixel
+    with near-zero confidence must contribute near-zero cost."""
+    from visual_foresight_tpu.policy.cem_controllers.registration_controller import (
+        RegisterGtruthController)
+
+    ag = dict(AG_PARAMS, ntask=1)
+    ctrl = RegisterGtruthController(ag, dict(BASE_POLICY,
+                                             predictor_class=_StubPredictor))
+    ctrl._goal_pix = np.tile(np.array(GOAL_LOC).reshape(1, 1, 2), (1, 2, 1))
+    ctrl.reg_tradeoff = np.array([[1.0, 0.0]], np.float32) / 2  # normalized
+    grids = np.asarray(ctrl._cost_grids())
+    assert grids.shape == (1, 2, H, W)
+    assert np.all(grids[0, 1] == 0)          # zero-confidence desig: no cost
+    assert grids[0, 0].max() > 0
+    base = np.asarray(
+        __import__('visual_foresight_tpu.planners.costs',
+                   fromlist=['distance_grid']).distance_grid(
+            ctrl._goal_pix.reshape(1, 2, 2), H, W))
+    np.testing.assert_allclose(grids[0, 0], base[0, 0] * 1.0, rtol=1e-5)

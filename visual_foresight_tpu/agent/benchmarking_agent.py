@@ -22,6 +22,9 @@ class BenchmarkAgent(GeneralAgent):
         self._start_goal_confs = hyperparams.get('start_goal_confs', None)
         if 'camera_topics' in hyperparams['env'][1]:
             self.ncam = len(hyperparams['env'][1]['camera_topics'])
+        elif 'ncam' in hyperparams['env'][1]:
+            # sim envs may override their class default camera count
+            self.ncam = hyperparams['env'][1]['ncam']
         else:
             self.ncam = hyperparams['env'][0].default_ncam()
         GeneralAgent.__init__(self, hyperparams, start_saver=start_saver)

@@ -133,6 +133,15 @@ class PixelCostController(CEMBaseController):
         self._fused_state = None
 
     # ------------------------------------------------------------------ fused path
+    def _cost_grids(self):
+        """Per-(cam, desig) distance grids for the fused cost.  Subclasses
+        that weight designated pixels (e.g. registration warp-error
+        tradeoffs) scale the grids here — the expected-distance cost is
+        linear in the grid, so pre-scaling IS the weighted cost."""
+        return cost_lib.distance_grid(
+            self._goal_pix.reshape(self._n_cam, self._n_desig, 2),
+            self._img_height, self._img_width)
+
     def perform_CEM(self, state):
         if self._fused is None:
             return super().perform_CEM(state)
@@ -154,9 +163,7 @@ class PixelCostController(CEMBaseController):
         else:
             ctx_actions = np.zeros((n_ctx - 1, self._adim), np.float32)
 
-        grids = cost_lib.distance_grid(
-            self._goal_pix.reshape(self._n_cam, self._n_desig, 2),
-            self._img_height, self._img_width)              # (ncam, P, H, W)
+        grids = self._cost_grids()                          # (ncam, P, H, W)
 
         spec = self._fused.spec
         mean = initial_mean(spec)

@@ -123,6 +123,18 @@ class RegisterGtruthController(PixelCostController):
         self.plan_stat['tradeoff'] = tradeoff
         super().perform_CEM(state)
 
+    def _cost_grids(self):
+        """Tradeoff-weighted distance grids for the fused planner: the
+        expected-pixel-distance cost is linear in the grid, so scaling each
+        (cam, desig) grid by its registration confidence reproduces the
+        host path's weighted sum (``_eval_pixel_cost``) exactly —
+        normalization differs only by the constant n_cam*n_desig factor,
+        which CEM ranking is invariant to."""
+        grids = super()._cost_grids()                       # (ncam, P, H, W)
+        w = jnp.asarray(self.reg_tradeoff * self._n_cam * self._n_desig,
+                        grids.dtype)
+        return grids * w[:, :, None, None]
+
     def _eval_pixel_cost(self, cem_itr, gen_distrib, gen_images):
         """Weighted variant: per-(cam, desig) scores blended by reg tradeoff."""
         grids = np.asarray(cost_lib.distance_grid(
