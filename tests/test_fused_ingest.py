@@ -12,7 +12,7 @@ import pytest
 from visual_foresight_tpu.agent.utils.traj_saver import GeneralAgentSaver
 from visual_foresight_tpu.data import fused_ingest
 
-T, H, W, SDIM, ADIM = 5, 48, 64, 3, 3
+T, H, W, SDIM, ADIM = 5, 48, 64, 5, 4
 
 
 def _traj(seed, ncam=1, smooth=False):

@@ -111,8 +111,10 @@ class FusedTrajLoader:
             'batch {}'.format(batch_size),
             'T {}'.format(self._T),
             'ncam {}'.format(self._ncam),
-            'height {} width {}'.format(ih, iw),
-            'adim {} sdim {}'.format(self._adim, self._sdim),
+            'height {}'.format(ih),
+            'width {}'.format(iw),
+            'adim {}'.format(self._adim),
+            'sdim {}'.format(self._sdim),
             'threads {}'.format(threads),
             'shuffle {}'.format(1 if shuffle else 0),
             'num_epochs {}'.format(num_epochs),

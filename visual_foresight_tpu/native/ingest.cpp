@@ -75,28 +75,34 @@ Config parse_config(const char* text, std::string* err) {
     if (line.empty() || line[0] == '#') continue;
     std::istringstream ls(line);
     std::string key;
-    ls >> key;
-    if (key == "file") {
-      std::string path;
-      std::getline(ls, path);
-      size_t s = path.find_first_not_of(" \t");
-      if (s != std::string::npos) c.files.push_back(path.substr(s));
-    } else if (key == "batch") ls >> c.batch;
-    else if (key == "T") ls >> c.T;
-    else if (key == "ncam") ls >> c.ncam;
-    else if (key == "height") ls >> c.height;
-    else if (key == "width") ls >> c.width;
-    else if (key == "adim") ls >> c.adim;
-    else if (key == "sdim") ls >> c.sdim;
-    else if (key == "threads") ls >> c.threads;
-    else if (key == "shuffle") ls >> c.shuffle;
-    else if (key == "num_epochs") ls >> c.num_epochs;
-    else if (key == "pool_size") ls >> c.pool_size;
-    else if (key == "seed") ls >> c.seed;
-    else if (key == "image_key") ls >> c.image_key;
-    else if (key == "state_key") ls >> c.state_key;
-    else if (key == "action_key") ls >> c.action_key;
-    else *err = "unknown config key: " + key;
+    // a line may carry several key/value pairs (e.g. "adim 4 sdim 5")
+    while (ls >> key) {
+      if (key == "file") {
+        std::string path;
+        std::getline(ls, path);
+        size_t s = path.find_first_not_of(" \t");
+        if (s != std::string::npos) c.files.push_back(path.substr(s));
+        break;  // a file path consumes the rest of the line
+      } else if (key == "batch") ls >> c.batch;
+      else if (key == "T") ls >> c.T;
+      else if (key == "ncam") ls >> c.ncam;
+      else if (key == "height") ls >> c.height;
+      else if (key == "width") ls >> c.width;
+      else if (key == "adim") ls >> c.adim;
+      else if (key == "sdim") ls >> c.sdim;
+      else if (key == "threads") ls >> c.threads;
+      else if (key == "shuffle") ls >> c.shuffle;
+      else if (key == "num_epochs") ls >> c.num_epochs;
+      else if (key == "pool_size") ls >> c.pool_size;
+      else if (key == "seed") ls >> c.seed;
+      else if (key == "image_key") ls >> c.image_key;
+      else if (key == "state_key") ls >> c.state_key;
+      else if (key == "action_key") ls >> c.action_key;
+      else {
+        *err = "unknown config key: " + key;
+        break;
+      }
+    }
   }
   if (c.files.empty()) *err = "no input files";
   return c;
