@@ -298,10 +298,12 @@ class PixelCostController(CEMBaseController):
 
     def act(self, t=None, i_tr=None, desig_pix=None, goal_pix=None,
             images=None, state=None, verbose_worker=None):
+        # multi-object scenes hand over pixels for EVERY object; the policy
+        # plans for the first n_desig of them (reference ntask semantics)
         self._desig_pix = np.array(desig_pix).reshape(
-            (self._n_cam, self._n_desig, 2))
+            (self._n_cam, -1, 2))[:, :self._n_desig]
         self._goal_pix = np.array(goal_pix).reshape(
-            (self._n_cam, self._n_desig, 2))
+            (self._n_cam, -1, 2))[:, :self._n_desig]
         self._images = images
         self._verbose_worker = verbose_worker
         return super().act(t, i_tr, state)

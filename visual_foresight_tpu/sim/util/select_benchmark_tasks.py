@@ -49,15 +49,42 @@ def load_traj(folder):
     return agent_data, obs_dict
 
 
+def _task_object_first(qpos, reset_state):
+    """Permute objects so the most-displaced one sits at index 0.
+
+    Benchmarks run with ``ntask`` < num_objects: the policy plans for (and
+    ``env.eval`` scores) the FIRST objects, so the task object must lead.
+    The permutation is applied consistently to the trajectory's object qpos
+    and both halves of the reset_state (scene-xml specs + the object block
+    of ``qpos_all``).
+    """
+    disp = np.linalg.norm(qpos[-1, :, :2] - qpos[0, :, :2], axis=-1)
+    order = np.argsort(-disp)
+    if list(order) == sorted(order):
+        return qpos, reset_state
+    qpos = qpos[:, order]
+    rs = dict(reset_state)
+    if 'reset_xml' in rs and isinstance(rs['reset_xml'], (list, tuple)):
+        rs['reset_xml'] = [rs['reset_xml'][i] for i in order]
+    if 'qpos_all' in rs:
+        qpos_all = np.array(rs['qpos_all'])
+        nobj = qpos.shape[1]
+        arm_dof = qpos_all.shape[0] - nobj * 7
+        objs = qpos_all[arm_dof:].reshape(nobj, 7)[order]
+        rs['qpos_all'] = np.concatenate([qpos_all[:arm_dof], objs.ravel()])
+    return qpos, rs
+
+
 def emit_task(out_folder, src_folder, agent_data, obs_dict):
     """Write one benchmark task folder (start frame + goal frame form)."""
     os.makedirs(out_folder)
     qpos = np.asarray(obs_dict['object_qpos'])
+    qpos, reset_state = _task_object_first(qpos, agent_data['reset_state'])
     task_obs = {'object_qpos': np.stack([qpos[0], qpos[-1]])}
     with open(os.path.join(out_folder, 'obs_dict.pkl'), 'wb') as f:
         pkl.dump(task_obs, f)
     with open(os.path.join(out_folder, 'agent_data.pkl'), 'wb') as f:
-        pkl.dump({'reset_state': agent_data['reset_state']}, f)
+        pkl.dump({'reset_state': reset_state}, f)
 
     cams = sorted(glob.glob(os.path.join(src_folder, 'images*')))
     for cam_dir in cams:
