@@ -99,3 +99,23 @@ def test_ensemble_controller():
                    images=images, state=state, verbose_worker=None)
     assert out['actions'].shape == (3,)
     assert 'scores_itr0' in out['plan_stat']
+
+
+def test_registration_controller_multi_object_pixels():
+    """Multi-object scenes hand over (ncam, num_objects, 2) pixel arrays;
+    with ntask=1 the controller plans for the first object instead of
+    crashing on an exact-shape reshape."""
+    from visual_foresight_tpu.policy.cem_controllers.registration_controller import (
+        RegisterGtruthController)
+    pp = dict(BASE_POLICY)
+    ag = dict(AG_PARAMS, ntask=1)
+    ctrl = RegisterGtruthController(ag, pp)
+    images, state, goal_image = _history(4)
+    desig = np.array([[[8, 12], [3, 4], [10, 20]]])    # 3 objects
+    goal_pix = np.array([[[4, 20], [5, 5], [11, 21]]])
+    ctrl.reset()
+    out = ctrl.act(t=1, i_tr=0, desig_pix=desig, goal_pix=goal_pix,
+                   images=images, goal_image=goal_image, state=state,
+                   verbose_worker=None)
+    assert out['actions'].shape == (3,)
+    np.testing.assert_array_equal(ctrl._goal_pix_sel, [[[4, 20]]])

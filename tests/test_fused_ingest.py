@@ -156,3 +156,19 @@ def test_make_loader_python_fallback(tmp_path):
     batch = next(iter(it))
     assert batch['images'].dtype == np.uint8
     assert batch['images'].shape[0] == 2
+
+
+def test_engine_reports_error_when_nothing_decodable(tmp_path, native_lib):
+    """A dataset whose trajectories all fail to decode must surface an
+    engine error instead of blocking vfi_next forever (infinite epochs)."""
+    _write_dataset(tmp_path, 4)
+    # claim a wrong resolution: raw frames can't resize, every traj rejected.
+    # the engine error may surface at open (worker already swept the files)
+    # or on the first batch draw — either way, never a hang.
+    with pytest.raises((RuntimeError, StopIteration)):
+        loader = fused_ingest.FusedTrajLoader(str(tmp_path), batch_size=2,
+                                              threads=1, image_hw=(24, 32))
+        try:
+            next(loader)
+        finally:
+            loader.close()

@@ -56,7 +56,7 @@ def test_robonet_jpeg_roundtrip(tmp_path):
     for i, (frames, states, actions) in enumerate(trajs):
         err = np.abs(batch['images'][i].astype(np.float32)
                      - frames.astype(np.float32)).mean()
-        assert err < 8.0, 'jpeg decode error too high: {}'.format(err)
+        assert err < 3.0, 'jpeg decode error too high: {}'.format(err)
         np.testing.assert_allclose(batch['state'][i], states, rtol=1e-6)
         np.testing.assert_allclose(batch['actions'][i], actions, rtol=1e-6)
     with pytest.raises(StopIteration):
@@ -118,3 +118,20 @@ def test_training_consumes_hdf5(tmp_path):
     history, _ = train(args)
     assert len(history) >= 2
     assert np.isfinite(history[-1]['loss'])
+
+def test_jpeg_color_channels_not_swapped(tmp_path):
+    """A pure-red scene must come back red — blurred-noise thresholds cannot
+    catch an R/B swap, so pin the channel convention explicitly."""
+    from visual_foresight_tpu.utils.file_2_hdf5 import save_hdf5
+    frames = np.zeros((T, 1, H, W, 3), np.uint8)
+    frames[..., 0] = 200  # strong red, zero blue
+    save_hdf5(str(tmp_path / 'red.hdf5'), {'term_t': T - 1},
+              {'images': frames, 'state': np.zeros((T, 5), np.float32)},
+              {'actions': np.zeros((T, 4), np.float32)}, dict(META),
+              video_encoding='jpeg', t_index=0)
+    reader = RoboNetTrajReader(str(tmp_path), batch_size=1, num_epochs=1,
+                               shuffle=False)
+    img = next(reader)['images'][0, 0, 0].astype(np.float32)
+    reader.close()
+    assert img[..., 0].mean() > 150, 'red channel lost: R/B swapped'
+    assert img[..., 2].mean() < 50, 'blue channel gained: R/B swapped'

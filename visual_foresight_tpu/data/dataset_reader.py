@@ -178,7 +178,17 @@ class BaseVideoDataset:
                             return
                         batch = []
             finally:
-                interruptible_put(sentinel)
+                if not interruptible_put(sentinel):
+                    # stopped with a full queue: displace one batch so a
+                    # consumer blocked in q.get() still terminates
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    try:
+                        q.put_nowait(sentinel)
+                    except queue.Full:
+                        pass
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -185,14 +185,21 @@ def device_ingest(images_u8, dtype):
 
 
 def make_loader(directory, batch_size, mode='train', prefer_native=True,
-                **kwargs):
+                num_epochs=0, shuffle=True, image_hw=None, **kwargs):
     """Return a batch iterator: native fused loader when available, else the
     threaded pure-Python reader (same dict schema, images as uint8)."""
     if prefer_native and native_available():
-        return FusedTrajLoader(directory, batch_size, mode=mode, **kwargs)
+        return FusedTrajLoader(directory, batch_size, mode=mode,
+                               num_epochs=num_epochs, shuffle=shuffle,
+                               image_hw=image_hw, **kwargs)
     from .dataset_reader import BaseVideoDataset
     print('WARNING: native ingest unavailable; using pure-Python reader')
-    ds = BaseVideoDataset(directory, batch_size)
+    if image_hw is not None:
+        raise NotImplementedError(
+            'image_hw resize needs the native ingest engine')
+    ds = BaseVideoDataset(directory, batch_size, hparams_dict={
+        'shuffle': shuffle,
+        'num_epochs': num_epochs if num_epochs else None})
 
     def gen():
         for batch in ds.numpy_iterator(keys=('images', 'actions', 'state'),

@@ -22,6 +22,7 @@ import os
 import queue
 import random
 import threading
+import weakref
 
 import numpy as np
 
@@ -29,10 +30,16 @@ from .dataset_reader import _stop_producers
 
 
 def _decode_jpeg(buf):
+    """JPEG bytes -> RGB frame.  The writer
+    (``utils/file_2_hdf5.serialize_image``) swaps to BGR before
+    ``cv2.imencode``, making the stored JPEG color-correct; ``cv2.imdecode``
+    hands back BGR convention, so swap once here — the same convention as
+    the TFRecord JPEG path (``traj_saver.jpeg_encode`` /
+    ``dataset_reader._reshape_feature``)."""
     import cv2
-    img = cv2.imdecode(np.frombuffer(np.asarray(buf), np.uint8),
+    bgr = cv2.imdecode(np.frombuffer(np.asarray(buf), np.uint8),
                        cv2.IMREAD_COLOR)
-    return img[:, :, ::-1]  # stored RGB (file_2_hdf5 image_format attr)
+    return bgr[:, :, ::-1]
 
 
 def _decode_mp4(buf):
@@ -79,11 +86,16 @@ def _load_bucketed_file(path):
             images = np.asarray(g['images'][()], np.uint8)
             if images.ndim == 4:          # (T, H, W, 3): single camera
                 images = images[:, None]
-            out.append({
+            traj = {
                 'images': images,
                 'state': np.asarray(g['states'][()], np.float32),
                 'actions': np.asarray(g['actions'][()], np.float32),
-            })
+            }
+            if 'pad_mask' in g:
+                # HDF5Saver zero-pads to max_num_actions; serve real steps only
+                valid = int(np.asarray(g['pad_mask'][()]).sum())
+                traj = {k: v[:max(valid, 1)] for k, v in traj.items()}
+            out.append(traj)
             i += 1
     return out
 
@@ -121,6 +133,10 @@ class RoboNetTrajReader:
         self._rng = random.Random(seed)
         self._skipped = 0
         self._producers = []
+        # stop the prefetch thread before interpreter teardown — a daemon
+        # thread abandoned inside native decode (cv2/h5py) aborts exit
+        self._finalizer = weakref.finalize(
+            self, _stop_producers, self._producers)
         self._q = queue.Queue(maxsize=4)
         self._sentinel = object()
         self._start()
@@ -157,9 +173,10 @@ class RoboNetTrajReader:
             while not stop.is_set():
                 try:
                     self._q.put(item, timeout=0.2)
-                    return
+                    return True
                 except queue.Full:
                     continue
+            return False
 
         def producer():
             batch = []
@@ -173,7 +190,17 @@ class RoboNetTrajReader:
                              for k in batch[0]})
                         batch = []
             finally:
-                put(self._sentinel)
+                if not put(self._sentinel):
+                    # stopped with a full queue: make room so a blocked
+                    # consumer still sees the sentinel
+                    try:
+                        self._q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    try:
+                        self._q.put_nowait(self._sentinel)
+                    except queue.Full:
+                        pass
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -56,8 +56,8 @@ def main(cmd_args=None):
     frames = grab_views(args.topic_names, args.height, args.width)
 
     now = datetime.datetime.today()
-    out = os.path.join(args.save_dir, 'clicks_{}_{}_{}_{}'.format(
-        now.year, now.day, now.hour, now.minute))
+    out = os.path.join(args.save_dir, 'clicks_{}_{}_{}_{}_{}'.format(
+        now.year, now.month, now.day, now.hour, now.minute))
     os.makedirs(out, exist_ok=True)
 
     if args.calibrate:

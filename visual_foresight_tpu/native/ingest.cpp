@@ -26,6 +26,7 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <setjmp.h>
 #include <zlib.h>
 
 #include <algorithm>
@@ -305,11 +306,16 @@ size_t float_values(Span feature, float* dst, size_t n) {
 
 struct JpegErr {
   jpeg_error_mgr pub;
+  jmp_buf env;
   bool failed;
 };
 
+// libjpeg's contract: an overriding error_exit must NOT return (the library
+// would continue with inconsistent state).  longjmp back to the decode call.
 void jpeg_err_exit(j_common_ptr cinfo) {
-  reinterpret_cast<JpegErr*>(cinfo->err)->failed = true;
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  err->failed = true;
+  longjmp(err->env, 1);
 }
 
 // Decode src into dst (h*w*3, RGB).  Handles raw uint8 planes and JPEG;
@@ -327,24 +333,30 @@ bool decode_image(Span src, uint8_t* dst, int h, int w) {
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_err_exit;
   jerr.failed = false;
+  std::vector<uint8_t> buf;
+  int sh = 0, sw = 0;
   jpeg_create_decompress(&cinfo);
+  if (setjmp(jerr.env)) {  // fatal decode error lands here
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(src.p),
                static_cast<unsigned long>(src.n));
-  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK || jerr.failed) {
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
-  const int sh = cinfo.output_height, sw = cinfo.output_width;
-  std::vector<uint8_t> buf(static_cast<size_t>(sh) * sw * 3);
-  while (cinfo.output_scanline < cinfo.output_height && !jerr.failed) {
+  sh = cinfo.output_height;
+  sw = cinfo.output_width;
+  buf.resize(static_cast<size_t>(sh) * sw * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = buf.data() + static_cast<size_t>(cinfo.output_scanline) * sw * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  if (jerr.failed) return false;
 
   if (sh == h && sw == w) {
     memcpy(dst, buf.data(), raw_n);
@@ -472,6 +484,17 @@ class Engine {
     while (true) {
       size_t order_pos = next_file_.fetch_add(1);
       size_t epoch = order_pos / cfg_.files.size();
+      // a full pass over every file that produced nothing means the dataset
+      // is unreadable/mismatched: stop instead of blocking vfi_next forever
+      if (epoch >= 1 && total_pushed_.load() == 0) {
+        std::lock_guard<std::mutex> lk(mu_);
+        if (error_.empty())
+          error_ = "no decodable trajectories in any input file "
+                   "(shape/manifest mismatch or corrupt shards)";
+        if (++workers_done_ == n_workers_) done_producing_ = true;
+        cv_data_.notify_all();
+        return;
+      }
       if (cfg_.num_epochs > 0 &&
           epoch >= static_cast<size_t>(cfg_.num_epochs)) {
         std::lock_guard<std::mutex> lk(mu_);
@@ -508,6 +531,7 @@ class Engine {
         if (stop_) return;
         pool_.push_back(std::move(tr));
         ++pushed;
+        total_pushed_.fetch_add(1);
         cv_data_.notify_one();
       }
       if (dbg)
@@ -572,6 +596,7 @@ class Engine {
   int n_workers_ = 0;
   std::atomic<size_t> next_file_{0};
   std::atomic<long long> frames_{0};
+  std::atomic<long long> total_pushed_{0};
 
   std::mutex mu_;
   std::condition_variable cv_data_, cv_space_;

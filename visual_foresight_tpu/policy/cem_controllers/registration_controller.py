@@ -152,18 +152,21 @@ class RegisterGtruthController(PixelCostController):
 
     def act(self, t=None, i_tr=None, desig_pix=None, goal_pix=None,
             images=None, goal_image=None, state=None, verbose_worker=None):
+        # multi-object scenes pass pixels for every object; plan for the
+        # first ntask of them (same convention as PixelCostController.act)
         self._goal_pix_sel = np.array(goal_pix).reshape(
-            (self._n_cam, self._ntask, 2))
+            (self._n_cam, -1, 2))[:, :self._ntask]
         goal_pix_full = np.tile(self._goal_pix_sel[:, :, None, :],
                                 [1, 1, self._num_reg, 1]).reshape(
             self._n_cam, self._n_desig, 2)
         desig_full = np.tile(
-            np.array(desig_pix).reshape((self._n_cam, self._ntask, 1, 2)),
+            np.array(desig_pix).reshape(
+                (self._n_cam, -1, 2))[:, :self._ntask, None],
             [1, 1, self._num_reg, 1]).reshape(self._n_cam, self._n_desig, 2)
 
         if t is not None and (self._desig_pix_t0 is None or t <= 1):
             self._desig_pix_t0 = np.array(desig_pix).reshape(
-                (self._n_cam, self._ntask, 2))
+                (self._n_cam, -1, 2))[:, :self._ntask]
             self._start_image = images[0].astype(np.float32) / 255.0
         if goal_image is not None:
             gi = np.asarray(goal_image, np.float32)

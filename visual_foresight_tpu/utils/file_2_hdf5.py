@@ -30,8 +30,12 @@ MANDATORY_KEYS = ['camera_configuration', 'policy_desc', 'bin_type',
 
 
 def serialize_image(img):
+    """RGB uint8 frame -> JPEG bytes.  cv2 interprets its input as BGR, so
+    swap at encode time: the stored JPEG is then color-correct when viewed
+    externally, and ``cv2.imdecode`` (no swap) returns RGB content —
+    matching ``data/robonet_reader._decode_jpeg``."""
     assert img.dtype == np.uint8, 'must be uint8'
-    return cv2.imencode('.jpg', img)[1]
+    return cv2.imencode('.jpg', img[..., ::-1])[1]
 
 
 def serialize_video(imgs, temp_name_append):
