@@ -285,3 +285,65 @@ def test_registration_fused_grids_weighted():
                    fromlist=['distance_grid']).distance_grid(
             ctrl._goal_pix.reshape(1, 2, 2), H, W))
     np.testing.assert_allclose(grids[0, 0], base[0, 0] * 1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ensemble disagreement cost
+# ---------------------------------------------------------------------------
+
+def test_ensemble_cost_penalizes_disagreement():
+    """Two plans with equal mean predicted cost: the one the ensemble
+    disagrees on must rank worse (mean + lambda * var semantics)."""
+    from visual_foresight_tpu.planners.costs import ensemble_cost
+    per_model = jnp.asarray([[1.0, 0.2], [1.0, 1.8]])  # plan 1: high variance
+    out = np.asarray(ensemble_cost(per_model, lambda_var=1.0))
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == pytest.approx(1.0 + np.var([0.2, 1.8]))
+    assert out[1] > out[0]
+    # lambda = 0 reduces to the plain mean
+    np.testing.assert_allclose(
+        np.asarray(ensemble_cost(per_model, lambda_var=0.0)), [1.0, 1.0])
+
+
+def test_ensemble_rollout_variance_raises_cost():
+    """White-box on the ensemble controller's jitted rollout+cost: an
+    ensemble of identical members scores plans lower than an ensemble whose
+    second member is perturbed (disagreement -> variance penalty), holding
+    the first member fixed."""
+    from visual_foresight_tpu.policy.cem_controllers.variants.ensemble_vidpred import (
+        CEMControllerEnsembleVidPred)
+    pp = dict(BASE_POLICY, predictor_class=None, num_ensembles=2,
+              ensemble_var_lambda=5.0)
+    pp.pop('predictor_class')
+    ctrl = CEMControllerEnsembleVidPred(dict(AG_PARAMS), pp)
+
+    rng = jax.random.PRNGKey(0)
+    n_ctx = ctrl.predictor.n_context
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(1, n_ctx, H, W, 3), jnp.float32)
+    states = jnp.zeros((n_ctx, 3))
+    distribs = jnp.zeros((1, n_ctx, H, W, 1)).at[:, :, 8, 12, 0].set(1.0)
+    actions = jnp.asarray(
+        np.random.RandomState(1).randn(4, 7, 3) * 0.05, jnp.float32)
+    from visual_foresight_tpu.planners.costs import distance_grid
+    grids = distance_grid(jnp.asarray([[[4.0, 20.0]]]), H, W)
+
+    p0 = jax.tree.map(lambda x: x[0], ctrl._ens_params)
+    p1 = jax.tree.map(lambda x: x[0] + 0.05 * jnp.sign(x[0] + 1e-8),
+                      ctrl._ens_params)
+
+    def stack(a, b):
+        return jax.tree.map(lambda x, y: jnp.stack([x, y]), a, b)
+
+    cost = lambda ens: np.asarray(ctrl._ens_rollout_cost(
+        ens, images, states, distribs, actions, rng, grids))
+    c00 = cost(stack(p0, p0))          # member-0 cost (zero variance)
+    c11 = cost(stack(p1, p1))          # member-1 cost (zero variance)
+    c01 = cost(stack(p0, p1))          # mixed: mean + lambda * var
+
+    # members genuinely disagree on this scene
+    assert np.abs(c00 - c11).max() > 1e-5
+    # mixed-ensemble cost exceeds the member mean by the variance penalty
+    member_mean = (c00 + c11) / 2
+    assert np.all(c01 >= member_mean - 1e-5)
+    assert np.any(c01 > member_mean + 1e-6)
