@@ -1,6 +1,8 @@
 """Training-loop correctness on CPU: loss decreases on a fixed synthetic
 batch; scheduled sampling decays; GDN and classifier trainers learn."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,3 +120,29 @@ def test_classifier_trainer_learns_synthetic():
          '--image_width', '24', '--log_every', '59'])
     history, _ = train_classifier(args)
     assert history[-1]['acc'] > 0.8
+
+
+def test_train_resume_restores_opt_state(tmp_path, capsys):
+    """--resume continues from the saved step with the optimizer state
+    restored (not a fresh Adam with a reset schedule — the round-1 advisory
+    fix)."""
+    from visual_foresight_tpu.training.train_predictor import (build_argparser,
+                                                               train)
+    common = ['--model_dir', str(tmp_path), '--batch_size', '2',
+              '--sequence_length', '5', '--image_height', '16',
+              '--image_width', '16', '--num_masks', '2',
+              '--enc_features', '8', '16', '16', '--log_every', '1',
+              '--n_devices', '1']
+    args = build_argparser().parse_args(common + ['--steps', '3',
+                                                  '--ckpt_every', '2'])
+    train(args)
+    assert os.path.isdir(os.path.join(str(tmp_path), 'opt'))
+
+    args2 = build_argparser().parse_args(common + ['--steps', '5',
+                                                   '--resume'])
+    history, _ = train(args2)
+    out = capsys.readouterr().out
+    assert 'resumed opt state at step 3' in out
+    # continued from step 3: only steps 3 and 4 run
+    steps = [h['step'] for h in history]
+    assert steps[0] >= 3 and steps[-1] == 4
