@@ -157,12 +157,17 @@ class FusedTrajLoader:
             self._act.ctypes.data_as(ctypes.c_void_p))
         if rc == 1:
             raise StopIteration
-        if rc != 0:
+        if rc > 0:
             raise RuntimeError('ingest engine: {}'.format(
                 self._lib.vfi_error(self._h).decode() or 'rc={}'.format(rc)))
+        # rc == 0: full batch; rc < 0: the source drained mid-batch and the
+        # leading -rc rows hold the trailing partial batch of a finite-epoch
+        # pass (the next call raises StopIteration)
+        n = self._img.shape[0] if rc == 0 else -rc
         # copies: the engine refills these buffers on the next call
-        return {'images': self._img.copy(), 'state': self._state.copy(),
-                'actions': self._act.copy()}
+        return {'images': self._img[:n].copy(),
+                'state': self._state[:n].copy(),
+                'actions': self._act[:n].copy()}
 
     def close(self):
         if self._h:

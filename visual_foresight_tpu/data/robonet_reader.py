@@ -29,17 +29,18 @@ import numpy as np
 from .dataset_reader import _stop_producers
 
 
-def _decode_jpeg(buf):
-    """JPEG bytes -> RGB frame.  The writer
-    (``utils/file_2_hdf5.serialize_image``) swaps to BGR before
-    ``cv2.imencode``, making the stored JPEG color-correct; ``cv2.imdecode``
-    hands back BGR convention, so swap once here — the same convention as
-    the TFRecord JPEG path (``traj_saver.jpeg_encode`` /
-    ``dataset_reader._reshape_feature``)."""
+def _decode_jpeg(buf, swap=False):
+    """JPEG bytes -> RGB frame.  The reference/RoboNet writer
+    (``visual_mpc/utils/file_2_hdf5.py:21`` and our byte-compatible
+    ``utils/file_2_hdf5.serialize_image``) encodes the RGB array with no
+    swap, so ``cv2.imdecode`` with no swap returns RGB directly.  Files
+    written by the 2026-round-2 variant of our exporter (which swapped to
+    BGR at encode time) need ``swap=True`` — exposed as
+    ``channel_order='legacy_bgr'`` on :class:`RoboNetTrajReader`."""
     import cv2
-    bgr = cv2.imdecode(np.frombuffer(np.asarray(buf), np.uint8),
+    arr = cv2.imdecode(np.frombuffer(np.asarray(buf), np.uint8),
                        cv2.IMREAD_COLOR)
-    return bgr[:, :, ::-1]
+    return arr[:, :, ::-1] if swap else arr
 
 
 def _decode_mp4(buf):
@@ -49,7 +50,7 @@ def _decode_mp4(buf):
     return np.stack(frames)[..., :3]
 
 
-def _load_robonet_traj(path):
+def _load_robonet_traj(path, swap_jpeg=False):
     """One traj-per-file RoboNet h5 -> {'images', 'state', 'actions'}."""
     import h5py
     with h5py.File(path, 'r') as f:
@@ -64,7 +65,7 @@ def _load_robonet_traj(path):
             else:
                 T = len(grp)
                 cams.append(np.stack(
-                    [_decode_jpeg(grp['frame{}'.format(t)][()])
+                    [_decode_jpeg(grp['frame{}'.format(t)][()], swap_jpeg)
                      for t in range(T)]))
         images = np.stack(cams, axis=1)   # (T, ncam, H, W, 3)
         states = np.asarray(env['state'][()] if 'state' in env
@@ -124,7 +125,13 @@ class RoboNetTrajReader:
     """
 
     def __init__(self, directory, batch_size, mode='train', num_epochs=0,
-                 shuffle=True, sequence_length=None, seed=1234):
+                 shuffle=True, sequence_length=None, seed=1234,
+                 channel_order='rgb'):
+        if channel_order not in ('rgb', 'legacy_bgr'):
+            raise ValueError("channel_order must be 'rgb' (reference/RoboNet "
+                             "convention) or 'legacy_bgr' (files written by "
+                             "the round-2 exporter)")
+        self._swap_jpeg = channel_order == 'legacy_bgr'
         self._layout, self._files = discover(directory, mode)
         self._batch = batch_size
         self._epochs = num_epochs
@@ -149,7 +156,7 @@ class RoboNetTrajReader:
                 self._rng.shuffle(files)
             for path in files:
                 if self._layout == 'robonet':
-                    trajs = [_load_robonet_traj(path)]
+                    trajs = [_load_robonet_traj(path, self._swap_jpeg)]
                 else:
                     trajs = _load_bucketed_file(path)
                 for tr in trajs:

@@ -438,7 +438,10 @@ class Engine {
     for (auto& t : workers_) t.join();
   }
 
-  // Fills one batch. Returns 0 ok, 1 exhausted (finite epochs only).
+  // Fills one batch. Returns 0 for a full batch, 1 when exhausted with no
+  // rows filled (finite epochs only), and -rows (rows in [1, batch-1]) when
+  // the pool drained mid-batch: the leading `rows` rows of the caller's
+  // buffers hold the trailing partial batch and the next call returns 1.
   int next(uint8_t* images, float* states, float* actions) {
     const size_t img_n = traj_img_elems();
     const size_t st_n = static_cast<size_t>(cfg_.T) * cfg_.sdim;
@@ -450,7 +453,7 @@ class Engine {
         cv_data_.wait(lk, [this] {
           return stop_ || !pool_.empty() || (done_producing_ && pool_.empty());
         });
-        if (pool_.empty()) return 1;  // exhausted
+        if (pool_.empty()) return b == 0 ? 1 : -b;  // exhausted
         if (cfg_.shuffle) {
           size_t idx = std::uniform_int_distribution<size_t>(
               0, pool_.size() - 1)(rng_);
@@ -471,7 +474,12 @@ class Engine {
   }
 
   double frames_decoded() const { return frames_.load(); }
-  const std::string& error() const { return error_; }
+  // returns a copy under the lock: workers write error_ under mu_, and
+  // Python may poll vfi_error concurrently (a bare reference would race)
+  std::string error() const {
+    std::lock_guard<std::mutex> lk(mu_);
+    return error_;
+  }
 
  private:
   size_t traj_img_elems() const {
@@ -484,9 +492,15 @@ class Engine {
     while (true) {
       size_t order_pos = next_file_.fetch_add(1);
       size_t epoch = order_pos / cfg_.files.size();
-      // a full pass over every file that produced nothing means the dataset
-      // is unreadable/mismatched: stop instead of blocking vfi_next forever
-      if (epoch >= 1 && total_pushed_.load() == 0) {
+      // Dead-dataset guard: only once every shard has actually been fully
+      // scanned (files_scanned_) with zero trajectories pushed do we declare
+      // the dataset unreadable.  Inferring from order_pos alone is racy:
+      // with threads > files, a worker draws epoch >= 1 while its sibling is
+      // still mid-decode on the first pass and total_pushed_ is legitimately
+      // 0 — that worker must keep going (or hit the num_epochs exit below),
+      // not poison the engine.
+      if (epoch >= 1 && total_pushed_.load() == 0 &&
+          files_scanned_.load() >= cfg_.files.size()) {
         std::lock_guard<std::mutex> lk(mu_);
         if (error_.empty())
           error_ = "no decodable trajectories in any input file "
@@ -511,6 +525,7 @@ class Engine {
           cfg_.files[file_order_[order_pos % cfg_.files.size()]];
       RecordStream rs(path);
       if (!rs.ok()) {
+        files_scanned_.fetch_add(1);  // counts toward the dead-dataset guard
         std::lock_guard<std::mutex> lk(mu_);
         error_ = "cannot open " + path;
         continue;
@@ -534,6 +549,7 @@ class Engine {
         total_pushed_.fetch_add(1);
         cv_data_.notify_one();
       }
+      files_scanned_.fetch_add(1);
       if (dbg)
         fprintf(stderr, "[vfi] file done: pushed=%d rejected=%d\n", pushed,
                 rejected);
@@ -595,10 +611,11 @@ class Engine {
   std::vector<std::thread> workers_;
   int n_workers_ = 0;
   std::atomic<size_t> next_file_{0};
+  std::atomic<size_t> files_scanned_{0};
   std::atomic<long long> frames_{0};
   std::atomic<long long> total_pushed_{0};
 
-  std::mutex mu_;
+  mutable std::mutex mu_;
   std::condition_variable cv_data_, cv_space_;
   std::vector<std::unique_ptr<Traj>> pool_;
   std::mt19937 rng_;
@@ -611,6 +628,7 @@ class Engine {
 struct Handle {
   std::unique_ptr<Engine> engine;
   std::string error;
+  std::string err_cache;  // stable storage for vfi_error's returned pointer
 };
 
 }  // namespace
@@ -643,7 +661,12 @@ double vfi_frames_decoded(void* vh) {
 const char* vfi_error(void* vh) {
   auto* h = static_cast<Handle*>(vh);
   if (!h->error.empty()) return h->error.c_str();
-  if (h->engine && !h->engine->error().empty()) return h->engine->error().c_str();
+  if (h->engine) {
+    // Engine::error() returns a lock-guarded copy; park it in the handle so
+    // the pointer stays valid after this call returns
+    h->err_cache = h->engine->error();
+    return h->err_cache.c_str();
+  }
   return "";
 }
 

@@ -221,6 +221,14 @@ def _decode_entry(payload):
             entry['size'] = v
         elif f == 6 and w == 5:
             entry['crc32c'] = v
+        elif f == 7 and w == 2:
+            # BundleEntryProto.slices: a partitioned variable's full-tensor
+            # entry has size 0 and its data scattered across slice entries —
+            # silently returning an empty tensor would surface later as a
+            # baffling reshape error, so fail loudly here instead
+            raise NotImplementedError(
+                'sliced/partitioned TF1 variables are not supported '
+                '(BundleEntryProto.slices present)')
     return entry
 
 

@@ -30,12 +30,15 @@ MANDATORY_KEYS = ['camera_configuration', 'policy_desc', 'bin_type',
 
 
 def serialize_image(img):
-    """RGB uint8 frame -> JPEG bytes.  cv2 interprets its input as BGR, so
-    swap at encode time: the stored JPEG is then color-correct when viewed
-    externally, and ``cv2.imdecode`` (no swap) returns RGB content —
-    matching ``data/robonet_reader._decode_jpeg``."""
+    """RGB uint8 frame -> JPEG bytes, byte-compatible with the reference /
+    RoboNet-release convention (``visual_mpc/utils/file_2_hdf5.py:21``):
+    the RGB array goes into ``cv2.imencode`` with NO channel swap, so the
+    stored JPEG carries the channels in cv2's BGR slots.  Decoding with
+    ``cv2.imdecode`` and no swap hands the original RGB array straight back
+    (``data/robonet_reader._decode_jpeg``); external JPEG viewers see R/B
+    swapped colors — a quirk the RoboNet release shares."""
     assert img.dtype == np.uint8, 'must be uint8'
-    return cv2.imencode('.jpg', img[..., ::-1])[1]
+    return cv2.imencode('.jpg', img)[1]
 
 
 def serialize_video(imgs, temp_name_append):

@@ -1,23 +1,37 @@
 """Shared trajectory counters for multi-process data collection.
 
-Mirrors reference ``visual_mpc/utils/sync.py:4-26``: a lock-guarded shared int
-used so N sim workers can pull globally unique trajectory indices.
+Capability parity with reference ``visual_mpc/utils/sync.py:4-26``: N sim
+workers pull globally unique trajectory indices from one shared counter.
+Implemented as a single primitive parameterized by where its shared state
+lives — plain ``multiprocessing`` (fork-inherited) or a ``Manager`` proxy
+(picklable, so it can ride a manager queue into ``Pool`` workers).
 """
 
-from multiprocessing import Value, Lock
+import multiprocessing
 
 
 class SyncCounter:
-    def __init__(self, base_value=0):
-        self._lock = Lock()
-        self._value = Value('i', base_value)
+    """Monotone shared counter; every accessor is lock-serialized."""
 
+    def __init__(self, base_value=0, backend=None):
+        """:param backend: object providing ``Lock()``/``Value()`` — defaults
+        to the ``multiprocessing`` module itself; pass a ``Manager`` for a
+        proxy-backed counter."""
+        src = backend if backend is not None else multiprocessing
+        self._lock = src.Lock()
+        self._value = src.Value('i', base_value)
+
+    def next_index(self):
+        """Claim and return the next unique index (post-increments)."""
+        with self._lock:
+            claimed = self._value.value
+            self._value.value = claimed + 1
+        return claimed
+
+    # reference-shaped accessors (``sim/simulator.py`` reads these)
     @property
     def ret_increment(self):
-        with self._lock:
-            ret = self._value.value
-            self._value.value += 1
-        return ret
+        return self.next_index()
 
     @property
     def value(self):
@@ -25,10 +39,6 @@ class SyncCounter:
             return self._value.value
 
 
-class ManagedSyncCounter(SyncCounter):
-    """Same semantics but backed by a ``multiprocessing.Manager`` so it can be
-    shipped through manager queues to pool workers."""
-
-    def __init__(self, manager, base_value=0):
-        self._lock = manager.Lock()
-        self._value = manager.Value('i', base_value)
+def ManagedSyncCounter(manager, base_value=0):
+    """Manager-backed counter (factory kept for the reference-shaped API)."""
+    return SyncCounter(base_value, backend=manager)
