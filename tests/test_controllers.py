@@ -119,3 +119,62 @@ def test_registration_controller_multi_object_pixels():
                    verbose_worker=None)
     assert out['actions'].shape == (3,)
     np.testing.assert_array_equal(ctrl._goal_pix_sel, [[[4, 20]]])
+
+
+def test_pixel_controller_fused_warm_start():
+    """reuse_mean/reuse_cov no longer disable the fused planner: the device
+    program warm-starts from the previous replan's refit distribution and
+    shrinks the sample count by reuse_factor (observable via scores length)."""
+    from visual_foresight_tpu.policy.cem_controllers.pixel_cost_controller import (
+        PixelCostController)
+    policy = dict(BASE_POLICY, reuse_mean=True, reuse_cov=True,
+                  smooth_cov=True, num_samples=8, replan_interval=2)
+    ctrl = PixelCostController(AG_PARAMS, policy)
+    assert ctrl._fused is not None, 'warm-start hparams must stay fused'
+
+    images, state, _ = _history(3)
+    desig = np.array([[[4, 6]]])
+    goal = np.array([[[10, 18]]])
+    ctrl.reset()
+    hist_i, hist_s = [images[0]], [state[0]]
+    for t in range(5):
+        hist_i.append(images[t % 2])
+        hist_s.append(state[t % 2])
+        out = ctrl.act(t=t, i_tr=0, desig_pix=desig, goal_pix=goal,
+                       images=np.stack(hist_i), state=np.stack(hist_s),
+                       verbose_worker=None)
+        assert out['actions'].shape == (3,)
+    # replan at t=0 (cold, 8 samples), replans later warm (4 samples)
+    assert out['plan_stat']['scores_itr0'].shape[-1] == 4
+    assert ctrl._fused_state is not None
+
+
+def test_pixel_controller_fused_mppi():
+    """CorrelatedNoiseSampler configs run in the fused device program."""
+    from visual_foresight_tpu.policy.cem_controllers.pixel_cost_controller import (
+        PixelCostController)
+    from visual_foresight_tpu.policy.cem_controllers.samplers.correlated_noise import (
+        CorrelatedNoiseSampler)
+    policy = {
+        'T': 6, 'num_samples': 8, 'minimum_selection': 3, 'verbose': False,
+        'predictor_hparams': SMALL_PREDICTOR,
+        'sampler': CorrelatedNoiseSampler,
+        'nactions': 6, 'initial_std': [0.05, 0.05, 0.2],
+        'smooth_across_last_action': True,
+    }
+    ctrl = PixelCostController(AG_PARAMS, policy)
+    assert ctrl._fused is not None and ctrl._fused.is_mppi
+
+    images, state, _ = _history(4)
+    desig = np.array([[[4, 6]]])
+    goal = np.array([[[10, 18]]])
+    ctrl.reset()
+    hist_i, hist_s = [images[0]], [state[0]]
+    for t in range(3):
+        hist_i.append(images[t % 2])
+        hist_s.append(state[t % 2])
+        out = ctrl.act(t=t, i_tr=0, desig_pix=desig, goal_pix=goal,
+                       images=np.stack(hist_i), state=np.stack(hist_s),
+                       verbose_worker=None)
+        assert out['actions'].shape == (3,)
+    assert out['plan_stat']['scores_itr0'].shape == (8,)

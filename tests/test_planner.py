@@ -176,3 +176,133 @@ def test_fused_planner_sharded_over_mesh():
                        np.asarray(plain['best_scores']), atol=1e-4)
     assert np.allclose(np.asarray(sharded['best_actions']),
                        np.asarray(plain['best_actions']), atol=1e-5)
+
+
+def _tiny_setup(num_distribs=1):
+    """Shared model/params/context for fused-planner semantic tests."""
+    from visual_foresight_tpu.models.cdna import CDNAPredictor
+    model = CDNAPredictor(n_context=2, num_masks=4, num_distribs=num_distribs,
+                          sdim=3, adim=3, enc_features=(8, 16, 32))
+    key = jax.random.PRNGKey(0)
+    H, W = 16, 24
+    imgs = jax.random.uniform(key, (1, 2, H, W, 3))
+    states = jnp.zeros((1, 2, 3))
+    distribs = jnp.zeros((1, 2, H, W, 1)).at[:, :, 8, 12, 0].set(1.0)
+    params = model.init(key, imgs, jnp.zeros((1, 7, 3)), states, distribs)
+    grids = cost_lib.distance_grid(jnp.asarray([[[4.0, 20.0]]]), H, W)
+    ctx = (imgs[0][None][0][None], states[0], distribs[0][None][0][None],
+           jnp.zeros((1, 3)))
+    return model, params, grids, ctx
+
+
+def test_fused_smooth_cov_blends_with_previous(spec):
+    """smooth_cov parity: with identical keys/elites, the smoothed refit
+    sigma must equal (plain_refit + sigma0) / 2 (host GaussianCEMSampler
+    ``_refit``: sigma = (cov + sigma_prev) / 2)."""
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+    model, params, grids, ctx = _tiny_setup()
+    sigma0 = initial_sigma(spec)
+
+    def run(smooth):
+        planner = FusedCEMPlanner(model, spec, num_samples=12, iterations=2,
+                                  k_elite=4, n_vis=2, smooth_cov=smooth)
+        return planner.replan([params], jax.random.PRNGKey(3), *ctx, grids,
+                              initial_mean(spec), sigma0)
+
+    plain = np.asarray(run(False)['sigma'])
+    smooth = np.asarray(run(True)['sigma'])
+    assert np.allclose(smooth, (plain + np.asarray(sigma0)) / 2.0, atol=1e-6)
+
+
+def test_fused_add_zero_action(spec):
+    """With add_zero_action, candidate 0 is the all-zeros plan; under a
+    constant cost top_k keeps index order, so the best plan comes back as
+    exactly zero."""
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+    model, params, grids, ctx = _tiny_setup()
+    planner = FusedCEMPlanner(
+        model, spec, num_samples=8, iterations=1, k_elite=3, n_vis=2,
+        add_zero_action=True,
+        cost_fn=lambda gi, gd, c: jnp.zeros(gi.shape[0]))
+    result = planner.replan([params], jax.random.PRNGKey(5), *ctx, grids,
+                            initial_mean(spec), initial_sigma(spec))
+    assert np.allclose(np.asarray(result['best_actions'][0]), 0.0)
+
+
+def test_fused_warm_num_samples_variant(spec):
+    """A second (smaller) static sample count compiles and returns
+    consistently shaped results — the reuse_mean/reuse_cov warm-start path."""
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+    model, params, grids, ctx = _tiny_setup()
+    planner = FusedCEMPlanner(model, spec, num_samples=16, iterations=2,
+                              k_elite=4, n_vis=2)
+    cold = planner.replan([params], jax.random.PRNGKey(1), *ctx, grids,
+                          initial_mean(spec), initial_sigma(spec))
+    warm = planner.replan([params], jax.random.PRNGKey(2), *ctx, grids,
+                          cold['mean'], cold['sigma'], num_samples=8)
+    assert np.asarray(warm['scores_per_itr']).shape == (2, 8)
+    assert warm['best_actions'].shape == cold['best_actions'].shape
+
+
+MPPI_HP = {'kappa': 1.0, 'beta_0': 0.5, 'beta_1': 0.5, 'refit_cov': False,
+           'mean_bias': None, 'per_dim_std': (0.05, 0.2, 1.0)}
+
+
+def _mppi_spec(nactions=6):
+    from visual_foresight_tpu.planners.gaussian import ActionSpec
+    stds = MPPI_HP['per_dim_std']
+    return ActionSpec(adim=3, nactions=nactions, repeat=1, per_dim_std=stds,
+                      clip_dims_xy=(), clip_dims_rot=(), rej_dims_xy=(),
+                      rej_dims_lift=(), xy_std=stds[0], lift_std=stds[1])
+
+
+def test_fused_mppi_ar1_anchor():
+    """beta_0=0, beta_1=1 with a valid anchor propagates the anchor through
+    every step: the AR(1) recurrence collapses to a constant plan."""
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+    model, params, grids, ctx = _tiny_setup()
+    hp = dict(MPPI_HP, beta_0=0.0, beta_1=1.0)
+    planner = FusedCEMPlanner(model, _mppi_spec(), num_samples=4,
+                              iterations=1, k_elite=2, n_vis=1, mppi=hp)
+    anchor = jnp.asarray([0.3, -0.2, 0.1])
+    plan = planner._sample_mppi(jax.random.PRNGKey(0),
+                                jnp.zeros(18), None, anchor, 1.0, 4)
+    assert plan.shape == (4, 6, 3)
+    expect = np.broadcast_to(np.asarray(anchor), (4, 6, 3))
+    assert np.allclose(np.asarray(plan), expect, atol=1e-6)
+
+
+def test_fused_mppi_update_matches_host():
+    """The fused soft elite-weighted mean equals the host
+    CorrelatedNoiseSampler's sample_next_actions mean update."""
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+    model, params, grids, ctx = _tiny_setup()
+    planner = FusedCEMPlanner(model, _mppi_spec(), num_samples=4,
+                              iterations=1, k_elite=2, n_vis=1,
+                              mppi=dict(MPPI_HP))
+    rng = np.random.RandomState(0)
+    elites = rng.randn(5, 6, 3).astype(np.float32)
+    scores = rng.rand(5).astype(np.float32)
+
+    mean, cov = planner._mppi_update(jnp.asarray(elites), jnp.asarray(scores))
+    rewards = -scores
+    S = np.exp(MPPI_HP['kappa'] * (rewards - rewards.max()))
+    host_mean = np.einsum('n,nta->ta', S, elites) / (S.sum() + 1e-4)
+    assert cov is None
+    assert np.allclose(np.asarray(mean).reshape(6, 3), host_mean, atol=1e-5)
+
+
+def test_fused_mppi_finds_goal_directed_plan():
+    """End-to-end MPPI replan: best plan beats the sample average on its own
+    cost, shapes line up with control-cadence (repeat=1) planning."""
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+    model, params, grids, ctx = _tiny_setup()
+    planner = FusedCEMPlanner(model, _mppi_spec(), num_samples=16,
+                              iterations=2, k_elite=4, n_vis=2,
+                              mppi=dict(MPPI_HP, refit_cov=True))
+    result = planner.replan([params], jax.random.PRNGKey(7), *ctx, grids,
+                            jnp.zeros(18), jnp.eye(18))
+    scores = np.asarray(result['scores_per_itr'])
+    best = np.asarray(result['best_scores'])
+    assert best[0] <= scores[-1].mean()
+    assert result['best_actions'].shape == (4, 6, 3)

@@ -47,7 +47,9 @@ class FusedCEMPlanner:
                  finalweight: float = 10.0, rejection_rounds: int = 0,
                  action_bound: bool = True, only_first_view: bool = False,
                  cost_fn=None, n_vis: int = 10, blockdiag_refit: bool = False,
-                 donate_dist: bool = True, mesh=None):
+                 donate_dist: bool = True, mesh=None,
+                 smooth_cov: bool = False, add_zero_action: bool = False,
+                 mppi: Optional[dict] = None):
         self._model = model
         self._spec = spec
         self._M = num_samples
@@ -60,6 +62,13 @@ class FusedCEMPlanner:
         self._cost_fn = cost_fn
         self._n_vis = min(n_vis, num_samples)
         self._blockdiag = blockdiag_refit
+        self._smooth_cov = smooth_cov
+        self._add_zero = add_zero_action
+        # MPPI mode (CorrelatedNoiseSampler semantics,
+        # reference samplers/correlated_noise.py:17-66): AR(1)-smoothed noise
+        # around a soft elite-weighted mean plan instead of Gaussian refit.
+        # Keys: kappa, beta_0, beta_1, refit_cov, mean_bias, per_dim_std.
+        self._mppi = dict(mppi) if mppi else None
         # Multi-chip: shard the sample axis over the mesh.  A single sharding
         # constraint on the sampled plans is enough — XLA propagates the
         # partitioning through the rollout and inserts an all-gather of the
@@ -73,7 +82,11 @@ class FusedCEMPlanner:
                 'num_samples must divide the mesh size'
         else:
             self._plan_sharding = None
-        self._replan_jit = jax.jit(self._replan)
+        # num_samples is static so a warm-started replan (reuse_mean/reuse_cov
+        # shrink the sample count by reuse_factor) compiles as a second
+        # variant instead of failing
+        self._replan_jit = jax.jit(self._replan,
+                                   static_argnames=('num_samples',))
 
     # -- core program --------------------------------------------------------------
     def _encode_contexts(self, params, images, states, distribs,
@@ -106,8 +119,60 @@ class FusedCEMPlanner:
             gen_distribs.append(out['gen_distribs'])
         return (jnp.stack(gen_images, axis=2), jnp.stack(gen_distribs, axis=2))
 
+    def _sample_mppi(self, key, mean, cov, anchor, anchor_valid, M):
+        """AR(1)-correlated noise around a mean plan (CorrelatedNoiseSampler
+        semantics, reference ``samplers/correlated_noise.py:39-64``).
+
+        :param mean: (n*adim,) flattened mean plan (zeros on the first iter)
+        :param cov: optional (n*adim, n*adim) elite covariance; the host twin
+            colors noise by multiplying with the covariance itself (not a
+            matrix sqrt) — mirrored exactly for parity
+        :param anchor: (adim,) previously executed action
+        :param anchor_valid: scalar in {0,1}: use the anchor (vs the
+            reference's wrap-around on the final step's raw noise)
+        """
+        spec, hp = self._spec, self._mppi
+        n, adim = spec.nactions, spec.adim
+        eps = jax.random.normal(key, (M, n, adim))
+        if cov is not None:
+            noise = (eps.reshape(M, -1) @ cov).reshape(eps.shape)
+        else:
+            scale = jnp.asarray(hp['per_dim_std'], jnp.float32)
+            bias = jnp.asarray(hp.get('mean_bias') or [0.0] * adim,
+                               jnp.float32)
+            noise = eps * scale[None, None] + bias[None, None]
+        b0, b1 = hp['beta_0'], hp['beta_1']
+        wrap = noise[:, -1, :]
+        first = b0 * noise[:, 0, :] + \
+            b1 * (anchor_valid * anchor[None] + (1.0 - anchor_valid) * wrap)
+
+        def body(prev, eps_t):
+            cur = b0 * eps_t + b1 * prev
+            return cur, cur
+        _, rest = jax.lax.scan(body, first,
+                               jnp.swapaxes(noise[:, 1:], 0, 1))
+        plan = jnp.concatenate([first[:, None], jnp.swapaxes(rest, 0, 1)],
+                               axis=1)
+        return plan + mean.reshape(1, n, adim)
+
+    def _mppi_update(self, elite_actions, elite_scores):
+        """Soft elite-weighted mean (+ optional covariance refit):
+        ``S = exp(kappa * (r - max r))`` over rewards = negated costs."""
+        hp = self._mppi
+        rewards = -elite_scores
+        S = jnp.exp(hp['kappa'] * (rewards - jnp.max(rewards)))
+        mean_plan = jnp.einsum('n,nta->ta', S, elite_actions) / \
+            (jnp.sum(S) + 1e-4)
+        cov = None
+        if hp.get('refit_cov'):
+            flat = elite_actions.reshape(elite_actions.shape[0], -1)
+            centered = flat - jnp.mean(flat, axis=0, keepdims=True)
+            cov = centered.T @ centered / jnp.maximum(flat.shape[0] - 1, 1)
+        return mean_plan.reshape(-1), cov
+
     def _replan(self, params, key, context_images, context_states,
-                context_distribs, context_actions, cost_ctx, mean, sigma):
+                context_distribs, context_actions, cost_ctx, mean, sigma,
+                anchor=None, anchor_valid=0.0, num_samples=None):
         """One full replan.
 
         :param context_images: (ncam, n_ctx, H, W, C) float [0,1]
@@ -117,24 +182,41 @@ class FusedCEMPlanner:
             between the context frames (prepended to every candidate plan)
         :param cost_ctx: cost context pytree (distance grids for the default
             pixel cost; a goal image, classifier params, ... for overrides)
-        :param mean/sigma: current sampling distribution (flattened plan)
+        :param mean/sigma: current sampling distribution (flattened plan);
+            warm-started by the controller under reuse_mean/reuse_cov
+        :param anchor/anchor_valid: MPPI smooth_across_last_action input
+        :param num_samples: sample count for this replan (static; defaults
+            to the configured M — warm starts shrink it by reuse_factor)
         :return: dict with best actions, scores, refit mean/sigma, vis tensors
         """
         spec = self._spec
-        M, K = self._M, self._K
+        M = num_samples or self._M
+        K = self._K
         plan_scores = []
         best_actions = None
         vis = None
+        if anchor is None:
+            anchor = jnp.zeros(spec.adim, jnp.float32)
 
         carries = self._encode_contexts(params, context_images,
                                         context_states, context_distribs,
                                         context_actions, M)
 
+        sigma_prev = sigma   # smooth_cov blends each refit with the previous
+        mppi_cov = None
         for itr in range(self._iterations):
             key, k_sample, k_model = jax.random.split(key, 3)
-            plan = sample_actions(k_sample, mean, sigma, spec, M,
-                                  rejection_rounds=self._rej,
-                                  action_bound=self._bound)        # (M,T,adim)
+            if self._mppi is not None:
+                plan = self._sample_mppi(k_sample, mean, mppi_cov, anchor,
+                                         anchor_valid, M)       # (M,T,adim)
+            else:
+                plan = sample_actions(k_sample, mean, sigma, spec, M,
+                                      rejection_rounds=self._rej,
+                                      action_bound=self._bound)  # (M,T,adim)
+                if self._add_zero:
+                    # one candidate is always the null plan (reference
+                    # gaussian_sampler add_zero_action)
+                    plan = plan.at[0].set(0.0)
             if self._plan_sharding is not None:
                 plan = jax.lax.with_sharding_constraint(
                     plan, self._plan_sharding)
@@ -162,9 +244,16 @@ class FusedCEMPlanner:
                     'gen_distribs': gen_distribs[elite_idx[:nv]],
                     'scores': -neg_top[:nv],
                 }
+            elif self._mppi is not None:
+                mean, mppi_cov = self._mppi_update(elite_actions, -neg_top)
             else:
                 mean, sigma = fit_elites(elite_actions, spec,
                                          blockdiag=self._blockdiag)
+                if self._smooth_cov:
+                    # reference gaussian_sampler.py smooth_cov: blend each
+                    # refit with the previous iteration's covariance
+                    sigma = (sigma + sigma_prev) / 2.0
+                    sigma_prev = sigma
 
         return {
             'best_actions': best_actions,          # (K, T, adim) sorted best-first
@@ -177,12 +266,19 @@ class FusedCEMPlanner:
 
     # -- public -----------------------------------------------------------------------
     def replan(self, params, key, context_images, context_states,
-               context_distribs, context_actions, cost_ctx, mean, sigma):
+               context_distribs, context_actions, cost_ctx, mean, sigma,
+               anchor=None, anchor_valid=0.0, num_samples=None):
         """Run the jitted replan; returns the result dict of device arrays."""
         return self._replan_jit(params, key, context_images, context_states,
                                 context_distribs, context_actions, cost_ctx,
-                                mean, sigma)
+                                mean, sigma, anchor,
+                                jnp.asarray(anchor_valid, jnp.float32),
+                                num_samples=num_samples or self._M)
 
     @property
     def spec(self):
         return self._spec
+
+    @property
+    def is_mppi(self):
+        return self._mppi is not None

@@ -21,11 +21,13 @@ import numpy as np
 
 from visual_foresight_tpu.planners import costs as cost_lib
 from visual_foresight_tpu.planners.cem import FusedCEMPlanner
-from visual_foresight_tpu.planners.gaussian import (initial_mean,
+from visual_foresight_tpu.planners.gaussian import (ActionSpec, initial_mean,
                                                     initial_sigma,
-                                                    make_action_spec)
+                                                    make_action_spec,
+                                                    shift_sigma)
 from visual_foresight_tpu.prediction.predictor import TPUPredictor
 from .cem_base_controller import CEMBaseController
+from .samplers.correlated_noise import CorrelatedNoiseSampler
 from .samplers.gaussian_sampler import GaussianCEMSampler
 from .visualizer.construct_html import (fill_template, save_gifs, save_html,
                                         save_img)
@@ -73,29 +75,50 @@ class PixelCostController(CEMBaseController):
         self._fused = None
         self._fused_state = None
         self._rng = jax.random.PRNGKey(policyparams.get('seed', 0))
-        if self._hp.use_fused_planner and \
-                self._hp.sampler is GaussianCEMSampler and \
-                self._fused_planner_supported():
-            spec = make_action_spec(self._hp.values(), self._adim)
-            assert spec.nactions * spec.repeat == self._hp.T, \
-                'T must equal nactions*repeat'
-            self._fused = FusedCEMPlanner(
-                self.predictor.model, spec, self._hp.num_samples,
-                iterations=self._hp.iterations, k_elite=self.elite_count,
-                finalweight=self._hp.finalweight,
-                rejection_rounds=10 if self._hp.rejection_sampling else 0,
-                action_bound=self._hp.action_bound,
-                only_first_view=self._hp.only_take_first_view,
-                blockdiag_refit=self._hp.cov_blockdiag)
+        if self._hp.use_fused_planner and self._fused_planner_supported():
+            if self._hp.sampler is GaussianCEMSampler:
+                spec = make_action_spec(self._hp.values(), self._adim)
+                assert spec.nactions * spec.repeat == self._hp.T, \
+                    'T must equal nactions*repeat'
+                self._fused = FusedCEMPlanner(
+                    self.predictor.model, spec, self._hp.num_samples,
+                    iterations=self._hp.iterations, k_elite=self.elite_count,
+                    finalweight=self._hp.finalweight,
+                    rejection_rounds=10 if self._hp.rejection_sampling else 0,
+                    action_bound=self._hp.action_bound,
+                    only_first_view=self._hp.only_take_first_view,
+                    blockdiag_refit=self._hp.cov_blockdiag,
+                    smooth_cov=self._hp.smooth_cov,
+                    add_zero_action=self._hp.add_zero_action)
+            elif self._hp.sampler is CorrelatedNoiseSampler:
+                # fused MPPI: AR(1) noise + soft elite-weighted mean update
+                # run as the same single-dispatch device program
+                stds = tuple(float(s) for s in self._hp.initial_std)
+                spec = ActionSpec(
+                    adim=len(stds), nactions=self._hp.nactions, repeat=1,
+                    per_dim_std=stds, clip_dims_xy=(), clip_dims_rot=(),
+                    rej_dims_xy=(), rej_dims_lift=(), xy_std=stds[0],
+                    lift_std=stds[2] if len(stds) > 2 else stds[0])
+                assert spec.nactions == self._hp.T, \
+                    'CorrelatedNoise plans at control cadence: nactions == T'
+                self._fused = FusedCEMPlanner(
+                    self.predictor.model, spec, self._hp.num_samples,
+                    iterations=self._hp.iterations, k_elite=self.elite_count,
+                    finalweight=self._hp.finalweight,
+                    only_first_view=self._hp.only_take_first_view,
+                    mppi={'kappa': self._hp.kappa,
+                          'beta_0': self._hp.beta_0,
+                          'beta_1': self._hp.beta_1,
+                          'refit_cov': self._hp.refit_cov,
+                          'mean_bias': self._hp.mean_bias,
+                          'per_dim_std': stds})
 
-    # hparams the host Gaussian sampler honors but the fused device program
-    # does not implement (it re-initializes mean/sigma every replan and has
-    # no stochastic/discrete/zero-action variants).  Configs setting any of
-    # these must run the host CEM loop to keep reference semantics.
-    _FUSED_UNSUPPORTED = {'reuse_mean': False, 'reuse_cov': False,
-                          'smooth_cov': False, 'add_zero_action': False,
-                          'discrete_ind': None, 'stochastic_planning': None,
-                          'reduce_std_dev': 1.0}
+    # hparams only the host CEM loop honors: per-dim discretization and the
+    # repeat-each-candidate stochastic evaluation change the plan<->score
+    # bookkeeping in ways the fused program does not model.  Everything else
+    # (warm starts, covariance smoothing/shrinking, zero-action, MPPI) now
+    # runs fused.
+    _FUSED_UNSUPPORTED = {'discrete_ind': None, 'stochastic_planning': None}
 
     def _fused_planner_supported(self):
         offending = [k for k, default in self._FUSED_UNSUPPORTED.items()
@@ -142,6 +165,60 @@ class PixelCostController(CEMBaseController):
             self._goal_pix.reshape(self._n_cam, self._n_desig, 2),
             self._img_height, self._img_width)
 
+    def _fused_sampling_state(self, chosen):
+        """(mean, sigma, num_samples, anchor, anchor_valid) for this replan.
+
+        Mirrors the host GaussianCEMSampler's warm-start semantics
+        (reference ``samplers/gaussian_sampler.py:14-44``): with
+        ``reuse_cov`` the previous replan's refit covariance is shifted one
+        action block forward; with ``reuse_mean`` the mean warm-starts from
+        the best plan's remaining actions; either warm start shrinks the
+        sample count by ``reuse_factor``.  MPPI mode instead supplies the
+        last executed action as the AR(1) anchor."""
+        hp = self._hp
+        spec = self._fused.spec
+        M = hp.num_samples
+        anchor = np.zeros(spec.adim, np.float32)
+        anchor_valid = 0.0
+
+        if self._fused.is_mppi:
+            if hp.smooth_across_last_action and len(chosen):
+                anchor = np.asarray(chosen[-1], np.float32)
+                anchor_valid = 1.0
+            return (initial_mean(spec), initial_sigma(spec), M,
+                    anchor, anchor_valid)
+
+        t = self._t
+        warm_ok = t is not None and t >= spec.repeat - 1
+        warm_cov = bool(hp.reuse_cov) and warm_ok and \
+            self._fused_state is not None
+        if warm_cov:
+            sigma = shift_sigma(jnp.asarray(self._fused_state[1]), spec,
+                                float(hp.reuse_cov))
+        else:
+            sigma = initial_sigma(spec, reduce_std_dev=hp.reduce_std_dev,
+                                  reduce=t is not None and t >= 2)
+
+        warm_mean = False
+        plans = self._sampler.best_action_plans
+        if hp.reuse_mean and warm_ok and plans and plans[-1] is not None:
+            plan = np.asarray(plans[-1][0])       # remaining control-cadence
+            short = plan.shape[0] % spec.repeat
+            if short:
+                plan = np.concatenate(
+                    [plan, np.zeros((spec.repeat - short, spec.adim))], 0)
+            per_block = plan.reshape(-1, spec.repeat, spec.adim)[:, 0]
+            blocks = np.zeros((spec.nactions, spec.adim), np.float32)
+            blocks[:per_block.shape[0]] = per_block[:spec.nactions]
+            mean = jnp.asarray(blocks.ravel())
+            warm_mean = True
+        else:
+            mean = initial_mean(spec)
+
+        if warm_cov or warm_mean:
+            M = max(int(M * hp.reuse_factor), self.elite_count)
+        return mean, sigma, M, anchor, anchor_valid
+
     def perform_CEM(self, state):
         if self._fused is None:
             return super().perform_CEM(state)
@@ -165,15 +242,19 @@ class PixelCostController(CEMBaseController):
 
         grids = self._cost_grids()                          # (ncam, P, H, W)
 
-        spec = self._fused.spec
-        mean = initial_mean(spec)
-        sigma = initial_sigma(spec)
+        mean, sigma, num_samples, anchor, anchor_valid = \
+            self._fused_sampling_state(chosen)
 
         self._rng, sub = jax.random.split(self._rng)
         result = self._fused.replan(
             self.predictor.params, sub, jnp.asarray(frames_cam),
             jnp.asarray(states), jnp.asarray(distrib_cam),
-            jnp.asarray(ctx_actions), grids, mean, sigma)
+            jnp.asarray(ctx_actions), grids, mean, sigma,
+            anchor=anchor, anchor_valid=anchor_valid,
+            num_samples=num_samples)
+        # refit distribution feeds the next replan's reuse_mean/reuse_cov
+        self._fused_state = (np.asarray(result['mean']),
+                             np.asarray(result['sigma']))
 
         self._best_actions = np.asarray(result['best_actions'])
         scores_per_itr = np.asarray(result['scores_per_itr'])

@@ -29,6 +29,12 @@ class CEMSampler(object):
         """(t, adim) actions executed so far this trajectory."""
         return np.array(self._chosen_actions)
 
+    @property
+    def best_action_plans(self):
+        """Per-step log of the elites' remaining control-cadence actions
+        (entry shape (K, remaining, adim)); warm starts read [-1][0]."""
+        return self._best_action_plans
+
     @staticmethod
     def get_default_hparams():
         return {}
