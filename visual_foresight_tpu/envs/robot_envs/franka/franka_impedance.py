@@ -1,7 +1,11 @@
 """Franka impedance controller (reference ``robot_envs/franka/franka_impedance.py``).
 
 Cartesian impedance interface over franka_ros topics; requires ROS + franka
-stack at runtime."""
+stack at runtime.  Unlike the reference (whose franka env is
+cartesian-only), ``move_to_ja`` is implemented: joint waypoints are splined
+and published as a ``trajectory_msgs/JointTrajectory`` to the position
+trajectory controller when it is available, else mapped through the panda
+FK chain and streamed as equilibrium poses to the impedance controller."""
 
 import numpy as np
 
@@ -10,6 +14,20 @@ from ..robot_controller_interface import RobotController
 
 NEUTRAL_JOINT_ANGLES = np.array([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
 N_JOINTS = 7
+
+
+def joint_trajectory_samples(start, waypoints, duration, rate):
+    """Spline (start + waypoints) into per-tick joint targets.
+
+    :param start: (7,) current joint angles
+    :param waypoints: list of (7,) target joint vectors
+    :return: (ticks, 7) sample table plus the per-tick times (seconds)
+    """
+    spline = CSpline(np.array([np.asarray(start)] +
+                              [np.asarray(w) for w in waypoints]), duration)
+    ticks = max(int(duration * rate), 2)
+    times = np.linspace(duration / ticks, duration, ticks)
+    return np.stack([spline.get(t)[0] for t in times]), times
 
 
 class FrankaImpedanceController(RobotController):
@@ -66,8 +84,35 @@ class FrankaImpedanceController(RobotController):
             self._rate.sleep()
 
     def move_to_ja(self, waypoints, duration=1.5):
-        raise NotImplementedError(
-            'franka cartesian impedance mode has no direct joint interface')
+        """Joint-space move: JointTrajectory when the position trajectory
+        controller is loaded, else FK-mapped equilibrium-pose streaming."""
+        import rospy
+        samples, times = joint_trajectory_samples(
+            self.get_joint_angles(), waypoints, duration,
+            self._control_rate_hz)
+        try:
+            from trajectory_msgs.msg import JointTrajectory, \
+                JointTrajectoryPoint
+            if not hasattr(self, '_ja_pub'):
+                self._ja_pub = rospy.Publisher(
+                    '/position_joint_trajectory_controller/command',
+                    JointTrajectory, queue_size=1)
+            msg = JointTrajectory()
+            msg.joint_names = ['panda_joint{}'.format(i + 1)
+                               for i in range(N_JOINTS)]
+            for q, t in zip(samples, times):
+                pt = JointTrajectoryPoint()
+                pt.positions = list(q)
+                pt.time_from_start = rospy.Duration(float(t))
+                msg.points.append(pt)
+            self._ja_pub.publish(msg)
+            rospy.sleep(duration)
+        except ImportError:
+            # impedance-only install: chase the waypoints' FK poses
+            from .inverse_kinematics import CHAIN
+            for q in samples[::max(len(samples) // 10, 1)]:
+                self.move_to_eep(CHAIN.fk_pose(q),
+                                 duration=duration / 10.0)
 
     def move_to_neutral(self, duration=2.0):
         # neutral pose expressed cartesian for the impedance controller
