@@ -439,20 +439,25 @@ class CDNAPredictor(nn.Module):
         return carry
 
     @nn.compact
-    def rollout_from(self, carry, actions, rng=None):
+    def rollout_from(self, carry, actions, rng=None, latent=None):
         """Autoregressive rollout from an ``encode_context`` carry.
 
         :param actions: (B, T_plan, adim) — first entry is the action paired
             with the final context frame
+        :param rng: sample the per-rollout latent from the prior N(0, I)
+            (planning under model uncertainty — SV2P/SAVP semantics)
+        :param latent: explicit (B, latent_dim) latent overriding the prior
+            sample (training feeds the posterior sample through this)
         :return: dict of gen_images / gen_states / gen_distribs, T_plan steps
         """
         (lstm_states, prev_img, prev_distrib, prev_state, fi, fd,
-         latent) = carry
+         carry_latent) = carry
         b = prev_img.shape[0]
         T = actions.shape[1]
         h, w = prev_img.shape[1:3]
-        if self.latent_dim and rng is not None:
+        if self.latent_dim and latent is None and rng is not None:
             latent = jax.random.normal(rng, (b, self.latent_dim))
+        if self.latent_dim and latent is not None:
             carry = (lstm_states, prev_img, prev_distrib, prev_state, fi, fd,
                      latent)
 
@@ -474,7 +479,7 @@ class CDNAPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, images, actions, states=None, distribs=None, rng=None,
-                 gt_mask=None):
+                 gt_mask=None, latent=None):
         b, n_in, h, w, c = images.shape
         T = actions.shape[1]
         if states is None:
@@ -505,12 +510,17 @@ class CDNAPredictor(nn.Module):
         # the first step always consumes the first ground-truth frame
         gt_mask = gt_mask.at[:, 0].set(1.0)
 
-        latent = None
         if self.latent_dim > 0:
-            if rng is None:
+            if latent is not None:
+                # explicit latent (the variational trainer's posterior sample
+                # z = mu + sigma*eps — see models/latent.py)
+                latent = latent.astype(jnp.float32)
+            elif rng is None:
                 latent = jnp.zeros((b, self.latent_dim), jnp.float32)
             else:
                 latent = jax.random.normal(rng, (b, self.latent_dim))
+        else:
+            latent = None
 
         lstm_states = self._initial_lstm_states(b, h, w)
 

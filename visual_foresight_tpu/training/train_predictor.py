@@ -43,8 +43,23 @@ def scheduled_sampling_mask(key, step, T, batch, n_context, k=900.0):
     return jnp.maximum(mask, ctx[None])
 
 
+def kl_beta_schedule(step, beta, anneal_start, anneal_end):
+    """Linear KL-weight ramp 0 -> beta over [anneal_start, anneal_end]
+    (SV2P trains the reconstruction path first, then turns the latent on —
+    Babaeizadeh et al. 2018 §4)."""
+    frac = (step - anneal_start) / jnp.maximum(anneal_end - anneal_start, 1.0)
+    return beta * jnp.clip(frac, 0.0, 1.0)
+
+
 def make_loss_fn(model, n_context, state_weight=1e-4, l1_weight=0.0,
-                 ss_k=900.0):
+                 ss_k=900.0, posterior=None, kl_beta=0.0,
+                 kl_anneal=(0, 1), kl_free_nats=1.0):
+    """Training loss.  With ``posterior`` set (a ``PosteriorEncoder``) the
+    predictor trains as a variational model: the rollout conditions on the
+    reparameterized posterior sample and the loss carries an annealed
+    KL(q(z|x) || N(0,1)) — the semantics of the stochastic SAVP/SV2P models
+    the reference serves (``vpred_model_interface.py:52-66``).  ``params``
+    is then ``{'model': ..., 'posterior': ...}``."""
     def loss_fn(params, batch, rng, step):
         images = batch['images']          # (B, T+1, H, W, C) float [0,1] or u8
         if images.dtype == jnp.uint8:
@@ -60,8 +75,19 @@ def make_loss_fn(model, n_context, state_weight=1e-4, l1_weight=0.0,
         gt_mask = scheduled_sampling_mask(rng_ss, step, T, B, n_context,
                                           k=ss_k)
 
-        out = model.apply(params, images, actions, states,
-                          distribs=None, rng=rng_latent, gt_mask=gt_mask)
+        kl = None
+        if posterior is not None:
+            model_params = params['model']
+            mu, log_var = posterior.apply(params['posterior'], images)
+            z = mu + jnp.exp(0.5 * log_var) * \
+                jax.random.normal(rng_latent, mu.shape)
+            out = model.apply(model_params, images, actions, states,
+                              distribs=None, gt_mask=gt_mask, latent=z)
+            kl = 0.5 * jnp.mean(jnp.sum(
+                jnp.exp(log_var) + jnp.square(mu) - 1.0 - log_var, axis=-1))
+        else:
+            out = model.apply(params, images, actions, states,
+                              distribs=None, rng=rng_latent, gt_mask=gt_mask)
         pred = out['gen_images']          # (B, T, H, W, C) predicts frames 1..T
         target = images[:, 1:]
         l2 = jnp.mean(jnp.square(pred - target))
@@ -73,6 +99,13 @@ def make_loss_fn(model, n_context, state_weight=1e-4, l1_weight=0.0,
 
         metrics = {'loss': loss, 'img_l2': l2, 'state_l2': state_l2,
                    'psnr': -10.0 * jnp.log10(jnp.maximum(l2, 1e-10))}
+        if kl is not None:
+            # free bits (SV2P / Kingma et al. 2016): KL below the floor is
+            # free, so early reconstruction learning cannot collapse the
+            # posterior onto the prior before the latent becomes useful
+            beta = kl_beta_schedule(step, kl_beta, *kl_anneal)
+            loss = loss + beta * jnp.maximum(kl - kl_free_nats, 0.0)
+            metrics.update({'loss': loss, 'kl': kl, 'kl_beta': beta})
         return loss, metrics
     return loss_fn
 
@@ -201,13 +234,34 @@ def model_config_dict(args):
         'sdim': args.sdim,
         'sequence_length': args.sequence_length,
         'img_dims': [args.image_height, args.image_width],
+        # provenance only — planning samples the latent from the prior, so
+        # serving needs no posterior parameters
+        'stochastic': bool(args.stochastic),
     }
+
+
+def build_posterior(args):
+    from visual_foresight_tpu.models.latent import PosteriorEncoder
+    return PosteriorEncoder(
+        latent_dim=args.latent_dim,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
 
 def train(args):
     model = build_model(args)
     params = init_params(model, args)
     start_step = 0
+
+    posterior = None
+    if args.stochastic:
+        if args.latent_dim <= 0:
+            raise ValueError('--stochastic requires --latent_dim > 0')
+        posterior = build_posterior(args)
+        post_params = posterior.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, args.sequence_length, args.image_height,
+                       args.image_width, 3)))
+        params = {'model': params, 'posterior': post_params}
 
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup_steps=min(200, args.steps // 10 + 1),
@@ -220,8 +274,19 @@ def train(args):
         view_dir = os.path.join(args.model_dir, 'view0')
         latest = checkpoints.latest_checkpoint(view_dir)
         if latest:
-            params = checkpoints.restore_params(view_dir, template=params)
             start_step = int(latest.rsplit('_', 1)[1])
+            if args.stochastic:
+                # serving checkpoints (view0) hold just the generative model;
+                # the training-only posterior tower lives beside them
+                params = {
+                    'model': checkpoints.restore_params(
+                        view_dir, template=params['model'], step=start_step),
+                    'posterior': checkpoints.restore_params(
+                        os.path.join(args.model_dir, 'posterior'),
+                        template=params['posterior'], step=start_step),
+                }
+            else:
+                params = checkpoints.restore_params(view_dir, template=params)
             opt_dir = os.path.join(args.model_dir, 'opt')
             try:
                 opt_state = checkpoints.restore_params(
@@ -247,10 +312,17 @@ def train(args):
     bsh = batch_sharding(mesh)
     rsh = replicated(mesh)
 
+    kl_anneal = (float(args.kl_anneal_start if args.kl_anneal_start >= 0
+                       else args.steps // 4),
+                 float(args.kl_anneal_end if args.kl_anneal_end >= 0
+                       else args.steps // 2))
     train_step = jax.jit(
         make_train_step(model, tx, args.context_frames,
                         state_weight=args.state_weight,
-                        l1_weight=args.l1_weight, ss_k=args.ss_k),
+                        l1_weight=args.l1_weight, ss_k=args.ss_k,
+                        posterior=posterior, kl_beta=args.kl_beta,
+                        kl_anneal=kl_anneal,
+                        kl_free_nats=args.kl_free_nats),
         in_shardings=(rsh, rsh, bsh, rsh, rsh),
         out_shardings=(rsh, rsh, rsh),
         donate_argnums=(0, 1))
@@ -278,19 +350,30 @@ def train(args):
             print(json.dumps(m))
         if args.model_dir and args.ckpt_every and \
                 step > 0 and step % args.ckpt_every == 0:
-            checkpoints.save_params(jax.device_get(params),
-                                    os.path.join(args.model_dir, 'view0'), step)
-            checkpoints.save_params(jax.device_get(opt_state),
-                                    os.path.join(args.model_dir, 'opt'), step)
+            _save_all(args, params, opt_state, step)
 
     if args.model_dir:
-        path = checkpoints.save_params(
-            jax.device_get(params), os.path.join(args.model_dir, 'view0'),
-            args.steps)
-        checkpoints.save_params(jax.device_get(opt_state),
-                                os.path.join(args.model_dir, 'opt'), args.steps)
+        path = _save_all(args, params, opt_state, args.steps)
         print('saved final checkpoint to', path)
     return history, params
+
+
+def _save_all(args, params, opt_state, step):
+    """Write the serving checkpoint (view0), the training-only posterior
+    tower (stochastic runs), and the optimizer state."""
+    params = jax.device_get(params)
+    if args.stochastic:
+        path = checkpoints.save_params(
+            params['model'], os.path.join(args.model_dir, 'view0'), step)
+        checkpoints.save_params(
+            params['posterior'], os.path.join(args.model_dir, 'posterior'),
+            step)
+    else:
+        path = checkpoints.save_params(
+            params, os.path.join(args.model_dir, 'view0'), step)
+    checkpoints.save_params(jax.device_get(opt_state),
+                            os.path.join(args.model_dir, 'opt'), step)
+    return path
 
 
 def build_argparser():
@@ -310,6 +393,23 @@ def build_argparser():
     p.add_argument('--num_masks', type=int, default=10)
     p.add_argument('--cdna_kernel_size', type=int, default=5)
     p.add_argument('--latent_dim', type=int, default=0)
+    p.add_argument('--stochastic', action='store_true', default=False,
+                   help='variational training (SV2P semantics): posterior '
+                        'encoder over the trajectory + annealed KL; the '
+                        'latent then genuinely carries future information '
+                        'instead of being prior noise the L2 learns to '
+                        'ignore')
+    p.add_argument('--kl_beta', type=float, default=1e-4,
+                   help='final KL weight (per-sequence nats vs mean-pixel '
+                        'L2: 1e-4 weights ~10 nats on par with 1e-3 image '
+                        'loss)')
+    p.add_argument('--kl_anneal_start', type=int, default=-1,
+                   help='step where the KL ramp starts (-1: steps/4)')
+    p.add_argument('--kl_anneal_end', type=int, default=-1,
+                   help='step where beta reaches kl_beta (-1: steps/2)')
+    p.add_argument('--kl_free_nats', type=float, default=1.0,
+                   help='free-bits floor: KL below this costs nothing, '
+                        'preventing early posterior collapse')
     p.add_argument('--lstm_kernel', type=int, default=5)
     # default matches the serving-side flagship (prediction/predictor.py
     # DEFAULT_HPARAMS); checkpoints also record model_config.json so the
@@ -342,8 +442,15 @@ def build_argparser():
     p.add_argument('--ckpt_every', type=int, default=0)
     p.add_argument('--resume', action='store_true', default=False,
                    help='resume from the latest checkpoint in model_dir')
+    p.add_argument('--platform', type=str, default='',
+                   help="force a JAX platform (e.g. 'cpu' for smoke runs); "
+                        'needed because the axon TPU plugin ignores the '
+                        'JAX_PLATFORMS env var')
     return p
 
 
 if __name__ == '__main__':
-    train(build_argparser().parse_args())
+    _args = build_argparser().parse_args()
+    if _args.platform:
+        jax.config.update('jax_platforms', _args.platform)
+    train(_args)
