@@ -25,6 +25,9 @@ from visual_foresight_tpu.prediction import checkpoints
 
 
 def classifier_batches(args):
+    """Legacy 'lift' labels: goal_reached metadata, first frame as the goal
+    proxy.  Position-blind by construction (the quality tests demonstrate
+    it), kept only for comparison runs — prefer ``--label_mode goal``."""
     from visual_foresight_tpu.data.dataset_reader import BaseVideoDataset
     ds = BaseVideoDataset(args.data_dir, args.batch_size)
     for batch in ds.numpy_iterator(keys=('images', 'goal_reached')):
@@ -32,7 +35,77 @@ def classifier_batches(args):
         labels = np.asarray(batch['goal_reached']).reshape(-1).astype(
             np.float32)
         # final frame vs first frame (as goal proxy)
-        yield images[:, -1, args.camera], images[:, 0, args.camera], labels
+        yield (images[:, -1, args.camera], images[:, 0, args.camera], labels,
+               np.ones_like(labels))
+
+
+def goal_conditioned_batches(args, seed=None):
+    """Towel-classifier-shaped labels (reference
+    ``experiments/sawyer/towel_classifier/conf.py:18``): success means the
+    scene matches *this* goal image, generated self-supervised from
+    collected trajectories —
+
+    * positive: a late frame paired with a goal frame from the same
+      trajectory's tail (the scene IS at that goal);
+    * temporal negative: the first frame against the same trajectory's final
+      frame (the scene is NOT yet at the goal);
+    * cross negative: a late frame against another trajectory's goal.
+
+    Negatives where the two frames barely differ (the trajectory moved
+    nothing, or two trajectories ended identically) are ambiguous and get
+    weight 0 rather than a noisy label.
+    """
+    from visual_foresight_tpu.data.dataset_reader import BaseVideoDataset
+    ds = BaseVideoDataset(args.data_dir, args.batch_size)
+    rng = np.random.RandomState(args.seed if seed is None else seed)
+    min_diff = args.ambiguous_pixel_diff
+    for batch in ds.numpy_iterator(keys=('images',)):
+        images = batch['images'].astype(np.float32) / 255.0
+        b, T = images.shape[:2]
+        cur = np.empty((b,) + images.shape[3:], np.float32)
+        goal = np.empty_like(cur)
+        labels = np.zeros(b, np.float32)
+        weights = np.ones(b, np.float32)
+        kinds = rng.randint(0, 4, b)       # 0/1 positive, 2 temporal, 3 cross
+        perm = rng.permutation(b)
+        for i in range(b):
+            cam = args.camera
+            if kinds[i] <= 1:
+                t_cur = T - 1 - rng.randint(0, min(2, T - 1))
+                t_goal = T - 1 - rng.randint(0, min(3, T - 1))
+                cur[i], goal[i] = images[i, t_cur, cam], images[i, t_goal, cam]
+                labels[i] = 1.0
+            elif kinds[i] == 2:
+                cur[i], goal[i] = images[i, 0, cam], images[i, T - 1, cam]
+            else:
+                j = perm[i] if perm[i] != i else (i + 1) % b
+                cur[i], goal[i] = images[i, T - 1, cam], images[j, T - 1, cam]
+            if labels[i] == 0.0 and \
+                    np.abs(cur[i] - goal[i]).mean() < min_diff:
+                weights[i] = 0.0           # ambiguous negative
+        yield cur, goal, labels, weights
+
+
+def synthetic_goal_batches(args, seed=0):
+    """Synthetic goal-conditioned task: a bright square at a random cell;
+    success iff the frame's square sits at the GOAL's cell.  A position-blind
+    classifier cannot beat chance here — the quality gate for the recipe."""
+    rng = np.random.RandomState(seed)
+    h, w = args.image_height, args.image_width
+    cells = [(r, c) for r in range(0, h - 8, 12) for c in range(0, w - 8, 16)]
+    while True:
+        cur = rng.rand(args.batch_size, h, w, 3).astype(np.float32) * 0.2
+        goal = rng.rand(args.batch_size, h, w, 3).astype(np.float32) * 0.2
+        labels = (rng.rand(args.batch_size) > 0.5).astype(np.float32)
+        for i in range(args.batch_size):
+            gi = rng.randint(len(cells))
+            ci = gi if labels[i] > 0.5 else \
+                (gi + 1 + rng.randint(len(cells) - 1)) % len(cells)
+            r, c = cells[ci]
+            cur[i, r:r + 8, c:c + 8] += 0.7
+            r, c = cells[gi]
+            goal[i, r:r + 8, c:c + 8] += 0.7
+        yield cur, goal, labels, np.ones_like(labels)
 
 
 def synthetic_classifier_batches(args, seed=0):
@@ -43,7 +116,7 @@ def synthetic_classifier_batches(args, seed=0):
         labels = (rng.rand(args.batch_size) > 0.5).astype(np.float32)
         frames[labels > 0.5, :8, :8] += 0.7   # learnable success cue
         goals = rng.rand(args.batch_size, h, w, 3).astype(np.float32) * 0.2
-        yield frames, goals, labels
+        yield frames, goals, labels, np.ones_like(labels)
 
 
 def train_classifier(args):
@@ -54,28 +127,35 @@ def train_classifier(args):
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
-    def loss_fn(params, frames, goals, labels):
+    def loss_fn(params, frames, goals, labels, weights):
         logits = model.apply(params, frames, goals)
-        loss = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
-        acc = jnp.mean((logits > 0) == (labels > 0.5))
+        per = optax.sigmoid_binary_cross_entropy(logits, labels) * weights
+        loss = jnp.sum(per) / jnp.maximum(jnp.sum(weights), 1.0)
+        acc = jnp.sum(((logits > 0) == (labels > 0.5)) * weights) / \
+            jnp.maximum(jnp.sum(weights), 1.0)
         return loss, {'loss': loss, 'acc': acc}
 
     @jax.jit
-    def step_fn(params, opt_state, frames, goals, labels):
+    def step_fn(params, opt_state, frames, goals, labels, weights):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, frames, goals, labels)
+            params, frames, goals, labels, weights)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, metrics
 
-    batches = classifier_batches(args) if args.data_dir else \
-        synthetic_classifier_batches(args)
+    if args.data_dir:
+        batches = goal_conditioned_batches(args) \
+            if args.label_mode == 'goal' else classifier_batches(args)
+    else:
+        batches = synthetic_goal_batches(args) \
+            if args.label_mode == 'goal' else \
+            synthetic_classifier_batches(args)
     t0 = time.time()
     history = []
     for step in range(args.steps):
-        frames, goals, labels = next(batches)
+        frames, goals, labels, weights = next(batches)
         params, opt_state, metrics = step_fn(
             params, opt_state, jnp.asarray(frames), jnp.asarray(goals),
-            jnp.asarray(labels))
+            jnp.asarray(labels), jnp.asarray(weights))
         if step % args.log_every == 0 or step == args.steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
             m.update(step=step, sec=round(time.time() - t0, 1))
@@ -165,6 +245,14 @@ def build_argparser():
     p.add_argument('--camera', type=int, default=0)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--log_every', type=int, default=50)
+    p.add_argument('--label_mode', type=str, default='goal',
+                   choices=['goal', 'lift'],
+                   help="'goal' = goal-conditioned towel-classifier labels "
+                        "(success iff the scene matches THIS goal); 'lift' = "
+                        'legacy position-blind goal_reached labels')
+    p.add_argument('--ambiguous_pixel_diff', type=float, default=0.01,
+                   help='negatives whose frame/goal mean abs pixel gap is '
+                        'below this are weight-0 (ambiguous)')
     return p
 
 
