@@ -104,17 +104,20 @@ def effective_pixel_kernels(kernels, masks, mask_offset):
     """
     b, ksize = kernels.shape[0], kernels.shape[1]
     m = kernels.shape[3]
-    kflat = kernels.reshape(b, ksize * ksize, m).astype(jnp.float32)
     # Unrolled elementwise accumulation over the M kernels instead of an
     # einsum: the dot_general/conv lowering of the (tiny, M<=10) contraction
     # forces layout copies of the full-resolution mask tensor (measured
     # ~13 ms/replan at 48x64/B=200); M broadcast-multiplies fuse into one
-    # loop fusion with no relayout.
-    out = jnp.zeros(masks.shape[:3] + (ksize * ksize,), jnp.float32)
+    # loop fusion with no relayout.  Accumulate in the mask dtype: for bf16
+    # models the f32 accumulator forced f32 intermediates through the fusion
+    # (measured ~1.3 ms/replan at 48x64/B=200); the 10-term sum of [0,1]
+    # products loses <0.5% in bf16, well inside planning-cost noise.
+    kflat = kernels.reshape(b, ksize * ksize, m).astype(masks.dtype)
+    out = jnp.zeros(masks.shape[:3] + (ksize * ksize,), masks.dtype)
     for i in range(m):
-        out = out + masks[..., mask_offset + i, None].astype(jnp.float32) * \
+        out = out + masks[..., mask_offset + i, None] * \
             kflat[:, None, None, :, i]
-    return out.astype(masks.dtype)
+    return out
 
 
 def dna_warp(images, pixel_kernels):
@@ -135,13 +138,16 @@ def dna_warp(images, pixel_kernels):
     pad = ksize // 2
     b, h, w, c = images.shape
     x = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    out = jnp.zeros((b, h, w, c), jnp.float32)
+    # Accumulate in the image dtype: the f32 accumulator forced every one of
+    # the K*K fused taps through f32 intermediates (measured ~3 ms/replan in
+    # bf16 at 48x64/B=200).  A 25-term convex combination of [0,1] pixels in
+    # bf16 is exact to ~3 decimal places; f32 models keep f32 accumulation.
+    out = jnp.zeros((b, h, w, c), images.dtype)
     for i in range(ksize):
         for j in range(ksize):
             tap = pixel_kernels[..., i * ksize + j, None]
-            out = out + x[:, i:i + h, j:j + w, :].astype(jnp.float32) * \
-                tap.astype(jnp.float32)
-    return out.astype(images.dtype)
+            out = out + x[:, i:i + h, j:j + w, :] * tap.astype(images.dtype)
+    return out
 
 
 def composite(background, transformed, masks):
