@@ -108,3 +108,36 @@ def test_stochastic_latent_varies():
     diff = np.abs(np.asarray(o1['gen_images']) -
                   np.asarray(o2['gen_images'])).max()
     assert diff > 1e-6
+
+
+def test_s2d_tail_matches_classic_rollout():
+    """The space-to-depth plan-mode tail (ops/cdna_warp.dna_warp_s2d + the
+    low-res mask/kernel contraction) is the same arithmetic as the classic
+    full-resolution tail — rollouts from the same carry must agree to fp
+    reassociation noise."""
+    kw = dict(n_context=2, num_masks=4, num_distribs=1, sdim=3, adim=3,
+              enc_features=(8, 16, 16), std_factor=4, lstm_kernel=3,
+              separable_lstm=True, renorm_distribs=False)
+    classic = CDNAPredictor(s2d_tail=False, **kw)
+    fast = CDNAPredictor(s2d_tail=True, **kw)
+    key = jax.random.PRNGKey(0)
+    B, T, H, W = 3, 5, 16, 24
+    images = jax.random.uniform(key, (B, 2, H, W, 3))
+    states = jax.random.normal(key, (B, 2, 3)) * 0.1
+    actions = jax.random.normal(key, (B, T, 3)) * 0.1
+    distribs = jnp.zeros((B, 2, H, W, 1)).at[:, :, 8, 12, 0].set(1.0)
+    params = classic.init(key, images, actions, states, distribs)
+
+    carry = classic.apply(params, images, actions[:, :1], states, distribs,
+                          method='encode_context')
+    out_c = classic.apply(params, carry, actions, method='rollout_from')
+    out_f = fast.apply(params, carry, actions, method='rollout_from')
+    np.testing.assert_allclose(np.asarray(out_f['gen_images']),
+                               np.asarray(out_c['gen_images']),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_f['gen_distribs']),
+                               np.asarray(out_c['gen_distribs']),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_f['gen_states']),
+                               np.asarray(out_c['gen_states']),
+                               atol=1e-5, rtol=1e-5)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from visual_foresight_tpu.models.layers import ConvLSTMCell, LayerNorm
-from visual_foresight_tpu.ops.cdna_warp import (dna_warp,
+from visual_foresight_tpu.ops.cdna_warp import (dna_warp, dna_warp_s2d,
                                                 effective_pixel_kernels,
                                                 normalize_kernels)
 
@@ -58,6 +58,45 @@ def depth_to_space(x, r):
         b, h * r, w * r, c // (r * r))
 
 
+def to_blocks(x, r):
+    """(B, H, W, C) -> (B, H/r, W/r, r, r, C) subpixel-block layout (the
+    6-D form :func:`dna_warp_s2d` consumes)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+
+
+def from_blocks(x6):
+    """Inverse of :func:`to_blocks`; accepts arbitrary leading axes."""
+    lead = x6.shape[:-5]
+    hl, wl, ri, rj, c = x6.shape[-5:]
+    x = jnp.moveaxis(x6, -3, -4)         # (..., hl, ri, wl, rj, c)
+    return x.reshape(lead + (hl * ri, wl * rj, c))
+
+
+class _BlockConv(nn.Module):
+    """Param-compatible twin of the full-resolution ``nn.Conv(features,
+    (r, r), strides=(r, r), padding='VALID')`` input projection, applied to
+    an already space-to-depth input: same kernel/bias shapes (so checkpoints
+    bind unchanged), contraction as one lane-aligned matmul."""
+
+    features: int
+    r: int
+    in_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x6):
+        b, hl, wl, ri, rj, cin = x6.shape
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (self.r, self.r, self.in_features, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        k2 = kernel.reshape(-1, self.features).astype(self.dtype)
+        flat = x6.reshape(b, hl, wl, ri * rj * cin).astype(self.dtype)
+        out = jax.lax.dot_general(flat, k2, (((3,), (0,)), ((), ())))
+        return out + bias.astype(self.dtype)
+
+
 class CDNAStep(nn.Module):
     """One prediction step with nn.scan-compatible (carry, x) signature."""
 
@@ -75,6 +114,18 @@ class CDNAStep(nn.Module):
     std_factor: int = 0         # >0: space-to-depth backbone (TPU fast path)
     plan_mode: bool = False     # no teacher forcing: x carries ONLY actions
     renorm_distribs: bool = True  # renormalize warped distributions per step
+    s2d_tail: bool = False      # plan-mode: warp tail in s2d coordinates
+
+    @property
+    def _s2d_active(self):
+        """The s2d tail runs the ENTIRE step (backbone input, masks, CDNA
+        warp, compositing) in space-to-depth coordinates — nothing touches
+        full resolution inside the scan; the rollout converts once at the
+        boundary.  Plan-mode CDNA only (training keeps the reference-shaped
+        tail; DNA kernels and the pallas path have their own formulations).
+        """
+        return (self.s2d_tail and self.plan_mode and bool(self.std_factor)
+                and not self.dna and not self.use_pallas_warp)
 
     def _backbone_std(self, lstm_states, prev_img, cond):
         """Space-to-depth backbone: the ENTIRE conv-LSTM stack runs at
@@ -99,10 +150,16 @@ class CDNAStep(nn.Module):
         # lstm1's input projection is a 4x4/stride-4 conv straight from
         # full-res pixels — mathematically identical to space_to_depth + a
         # 1x1 projection, but the conv machinery tiles it on the MXU with no
-        # explicit lane-crossing transpose op on the hot path.
-        xg = nn.Conv(4 * f1, (r, r), strides=(r, r), padding='VALID',
-                     dtype=self.dtype, name='enc0')(
-                         prev_img.astype(self.dtype))              # H/r
+        # explicit lane-crossing transpose op on the hot path.  In s2d-tail
+        # mode the input already lives in block layout, so the same kernel
+        # applies as one matmul (param shapes identical).
+        if self._s2d_active:
+            xg = _BlockConv(4 * f1, r, prev_img.shape[-1], dtype=self.dtype,
+                            name='enc0')(prev_img.astype(self.dtype))
+        else:
+            xg = nn.Conv(4 * f1, (r, r), strides=(r, r), padding='VALID',
+                         dtype=self.dtype, name='enc0')(
+                             prev_img.astype(self.dtype))          # H/r
         s1, h1 = lstm(f1, 'lstm1')(s1, xg)
         h1 = LayerNorm(name='ln1')(h1)
 
@@ -130,13 +187,14 @@ class CDNAStep(nn.Module):
         # softmax BEFORE depth_to_space, grouped over the candidate axis of
         # the (r*r, num_candidates) channel blocks — at (H/r, W/r) this is
         # ~r^2 x less softmax traffic than at full resolution and the result
-        # moves to full res already normalized.
+        # moves to full res already normalized.  The s2d tail never moves
+        # them to full res at all: it consumes the (r*r, candidates) form.
         ml = conv(r * r * num_candidates, 1, 1, 'mask_head')(h4)
         bm, hm, wm = ml.shape[:3]
         ml = ml.reshape(bm, hm, wm, r * r, num_candidates)
-        masks = jax.nn.softmax(ml, axis=-1)
-        masks = depth_to_space(
-            masks.reshape(bm, hm, wm, -1).astype(self.dtype), r)
+        masks = jax.nn.softmax(ml, axis=-1).astype(self.dtype)
+        if not self._s2d_active:
+            masks = depth_to_space(masks.reshape(bm, hm, wm, -1), r)
         dna_logits = None
         if self.dna:
             dna_logits = depth_to_space(
@@ -233,6 +291,64 @@ class CDNAStep(nn.Module):
 
         # -- heads -------------------------------------------------------------
         b = prev_img.shape[0]
+
+        if self._s2d_active:
+            # Whole tail in s2d coordinates: kernels/masks contract into the
+            # per-pixel kernel field as ONE lane-aligned matmul at (H/r, W/r),
+            # the K*K warp taps are r*r*C-wide elementwise ops
+            # (ops/cdna_warp.dna_warp_s2d), and nothing is materialized at
+            # full resolution inside the scan.
+            r = self.std_factor
+            hl, wl = masks.shape[1], masks.shape[2]
+            offset = 2 if self.sna else 1
+            flat = h3.astype(jnp.float32).reshape(b, -1)
+            raw = nn.Dense(self.num_masks * self.kernel_size ** 2,
+                           name='cdna_head')(flat)
+            kernels = normalize_kernels(
+                raw.reshape(b, self.kernel_size, self.kernel_size,
+                            self.num_masks))
+            kflat = kernels.reshape(b, self.kernel_size ** 2,
+                                    self.num_masks).astype(self.dtype)
+            ek6 = jnp.einsum('bhwsm,bkm->bhwsk', masks[..., offset:],
+                             kflat).reshape(
+                                 b, hl, wl, r, r, self.kernel_size ** 2)
+            x6 = prev_img
+            if self.num_distribs:
+                x6 = jnp.concatenate(
+                    [prev_img, prev_distrib.astype(self.dtype)], axis=-1)
+            warped6 = dna_warp_s2d(x6, ek6)
+            m0 = masks[..., 0].reshape(b, hl, wl, r, r, 1)
+            gen_image = prev_img * m0
+            gd = None
+            if self.num_distribs:
+                gd = prev_distrib.astype(self.dtype) * m0
+            if self.sna:
+                m1 = masks[..., 1].reshape(b, hl, wl, r, r, 1)
+                gen_image = gen_image + first_image.astype(self.dtype) * m1
+                if self.num_distribs:
+                    gd = gd + first_distrib.astype(self.dtype) * m1
+            nc = prev_img.shape[-1]
+            gen_image = gen_image + warped6[..., :nc]
+            gen_distrib = prev_distrib
+            if self.num_distribs:
+                gd = gd + warped6[..., nc:]
+                if self.renorm_distribs:
+                    total = jnp.sum(gd.astype(jnp.float32),
+                                    axis=(1, 2, 3, 4), keepdims=True)
+                    gen_distrib = (gd.astype(jnp.float32) /
+                                   jnp.maximum(total, 1e-12)).astype(
+                                       self.dtype)
+                else:
+                    gen_distrib = gd
+
+            state_delta = nn.Dense(self.sdim, name='state_head')(
+                sa.astype(jnp.float32))
+            gen_state = prev_state + state_delta
+            new_carry = (lstm_states, gen_image, gen_distrib, gen_state,
+                         first_image, first_distrib, latent)
+            outs = (gen_image,
+                    gen_distrib if self.num_distribs else 0.0, gen_state)
+            return new_carry, outs
 
         # Collapse kernels + masks into one per-pixel effective kernel field —
         # compositing is linear, so this is exact and avoids materializing the
@@ -354,6 +470,12 @@ class CDNAPredictor(nn.Module):
     use_pallas_warp: bool = False
     std_factor: int = 0
     renorm_distribs: bool = True
+    s2d_tail: bool = False
+
+    @property
+    def _s2d_active(self):
+        return (self.s2d_tail and bool(self.std_factor) and not self.dna
+                and not self.use_pallas_warp)
 
     def _make_step(self, plan_mode=False):
         ScannedStep = nn.scan(
@@ -373,7 +495,8 @@ class CDNAPredictor(nn.Module):
                            use_pallas_warp=self.use_pallas_warp,
                            std_factor=self.std_factor,
                            plan_mode=plan_mode,
-                           renorm_distribs=self.renorm_distribs, name='step')
+                           renorm_distribs=self.renorm_distribs,
+                           s2d_tail=self.s2d_tail, name='step')
 
     def _initial_lstm_states(self, b, h, w):
         init = ConvLSTMCell.initial_state
@@ -461,6 +584,21 @@ class CDNAPredictor(nn.Module):
             carry = (lstm_states, prev_img, prev_distrib, prev_state, fi, fd,
                      latent)
 
+        if self._s2d_active:
+            # s2d fast path: convert the frame/distribution carry to block
+            # layout ONCE at the boundary; every step of the scan then runs
+            # entirely in s2d coordinates, and the stacked outputs convert
+            # back in one pass (cheap: a single transpose over (B, T, ...)
+            # instead of one full-resolution tail per step).
+            r = self.std_factor
+            (ls, pi, pd, ps, fi, fd, lat) = carry
+            carry = (ls, to_blocks(pi.astype(self.dtype), r),
+                     to_blocks(pd.astype(self.dtype), r)
+                     if self.num_distribs else pd,
+                     ps, to_blocks(fi.astype(self.dtype), r),
+                     to_blocks(fd.astype(self.dtype), r)
+                     if self.num_distribs else fd, lat)
+
         # plan-mode scan: xs carries ONLY the actions — the first input frame
         # comes from the carry (encode_context seeded it with the final
         # context frame), so no (T, B, H, W, C) ground-truth stream is ever
@@ -468,6 +606,10 @@ class CDNAPredictor(nn.Module):
         xs = (jnp.swapaxes(actions.astype(jnp.float32), 0, 1),)
         _, (imgs_tm, distribs_tm, states_tm) = \
             self._make_step(plan_mode=True)(carry, xs)
+        if self._s2d_active:
+            imgs_tm = from_blocks(imgs_tm)
+            if self.num_distribs:
+                distribs_tm = from_blocks(distribs_tm)
         result = {
             'gen_images': jnp.swapaxes(imgs_tm, 0, 1).astype(jnp.float32),
             'gen_states': jnp.swapaxes(states_tm, 0, 1).astype(jnp.float32),

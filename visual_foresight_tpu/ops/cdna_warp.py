@@ -150,6 +150,79 @@ def dna_warp(images, pixel_kernels):
     return out
 
 
+def _sub_shift(x6, d, cell_axis, sub_axis):
+    """Shift a space-to-depth tensor by ``d`` FULL-RESOLUTION pixels along one
+    spatial dimension, with zero padding at the full-res boundary.
+
+    ``x6`` carries that dimension split as (cells, subpixels): output subpixel
+    ``s`` reads input subpixel ``(s + d) % r`` from cell offset
+    ``(s + d) // r`` — so for |d| < r the result is a concat of two slices of
+    the same tensor (one of them cell-shifted), which XLA fuses into the
+    consuming elementwise op.
+    """
+    r = x6.shape[sub_axis]
+    assert -r < d < r
+    if d == 0:
+        return x6
+
+    def cell_shifted(o):
+        """x6 shifted o cells (o in {-1, 0, 1}), zero-padded."""
+        if o == 0:
+            return x6
+        pad = [(0, 0)] * x6.ndim
+        idx = [slice(None)] * x6.ndim
+        if o > 0:
+            idx[cell_axis] = slice(1, None)
+            pad[cell_axis] = (0, 1)
+        else:
+            idx[cell_axis] = slice(None, -1)
+            pad[cell_axis] = (1, 0)
+        return jnp.pad(x6[tuple(idx)], pad)
+
+    def sub(t, lo, hi):
+        idx = [slice(None)] * x6.ndim
+        idx[sub_axis] = slice(lo, hi)
+        return t[tuple(idx)]
+
+    if d > 0:
+        # out s in [0, r-d): same cell, s' = s + d; s in [r-d, r): next cell
+        return jnp.concatenate(
+            [sub(x6, d, r), sub(cell_shifted(1), 0, d)], axis=sub_axis)
+    # d < 0: out s in [0, -d): previous cell, s' = s + d + r; rest same cell
+    return jnp.concatenate(
+        [sub(cell_shifted(-1), r + d, r), sub(x6, 0, r + d)], axis=sub_axis)
+
+
+def dna_warp_s2d(x6, ek6):
+    """``dna_warp`` evaluated entirely in space-to-depth coordinates.
+
+    Identical arithmetic to ``dna_warp(depth_to_space(x), depth_to_space(ek))``
+    but every tap is a WIDE elementwise op: at 48x64/r=4 the full-res tensors
+    have only C(=3..4) lane channels (3% lane utilization on the VPU), while
+    the s2d form runs r*r*C(=48..64)-wide lanes and the per-pixel kernel
+    field is consumed lane-packed without ever existing at full resolution.
+
+    :param x6: (B, HL, WL, r, r, C) space-to-depth image
+        (``x6[b, hl, wl, si, sj] == x[b, r*hl+si, r*wl+sj]``)
+    :param ek6: (B, HL, WL, r, r, K*K) per-pixel effective kernels, same
+        subpixel layout
+    :return: (B, HL, WL, r, r, C)
+    """
+    ksize = int(round(ek6.shape[-1] ** 0.5))
+    pad = ksize // 2
+    assert pad < x6.shape[3], 's2d warp requires kernel radius < block size'
+    out = jnp.zeros(x6.shape[:5] + (x6.shape[5],), x6.dtype)
+    for i in range(ksize):
+        di = i - pad
+        row = _sub_shift(x6, di, cell_axis=1, sub_axis=3)
+        for j in range(ksize):
+            dj = j - pad
+            src = _sub_shift(row, dj, cell_axis=2, sub_axis=4)
+            tap = ek6[..., i * ksize + j, None]
+            out = out + src * tap.astype(x6.dtype)
+    return out
+
+
 def composite(background, transformed, masks):
     """Blend candidates with compositing masks.
 

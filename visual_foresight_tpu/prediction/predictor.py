@@ -64,6 +64,12 @@ DEFAULT_HPARAMS = {
     # XLA path, but OPT-IN - the remote Mosaic compile service on this
     # dev box is unreliable; the XLA path is within ~1 ms/step of it
     'use_pallas_warp': False,
+    # plan-mode warp tail in space-to-depth coordinates (bit-identical
+    # arithmetic, lane-packed shapes — see ops/cdna_warp.dna_warp_s2d).
+    # OPT-IN: measured 238 ms/replan vs 45 ms for the full-res tail on the
+    # real chip (the K*K concat-shifted block copies swamp HBM; XLA tiles
+    # the full-res elementwise taps far better than the 6-D block layout)
+    's2d_tail': False,
 }
 
 
@@ -94,6 +100,7 @@ class TPUPredictor:
             std_factor=hp['std_factor'],
             enc_features=tuple(hp['enc_features']),
             renorm_distribs=hp['renorm_distribs'],
+            s2d_tail=hp['s2d_tail'],
             **(model_kwargs or {}))
 
         self.params = None          # list: one pytree per camera
@@ -170,7 +177,8 @@ class TPUPredictor:
             use_pallas_warp=self._hp['use_pallas_warp'],
             std_factor=self._hp['std_factor'],
             enc_features=tuple(self._hp['enc_features']),
-            renorm_distribs=self._hp['renorm_distribs'])
+            renorm_distribs=self._hp['renorm_distribs'],
+            s2d_tail=self._hp['s2d_tail'])
 
     @staticmethod
     def _latest_tf1_prefix(view_dir):
