@@ -34,7 +34,6 @@ policy = {
     'initial_std': 0.04,
     'initial_std_lift': 0.08,
     'initial_std_rot': np.pi / 16,
-    'initial_std_grasp': 2.0,
 }
 
 config = {
@@ -43,4 +42,6 @@ config = {
     'save_data': True,
     'start_index': 0,
     'end_index': 1000,
+    'agent': agent,
+    'policy': policy,
 }

@@ -141,3 +141,28 @@ def test_s2d_tail_matches_classic_rollout():
     np.testing.assert_allclose(np.asarray(out_f['gen_states']),
                                np.asarray(out_c['gen_states']),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_scan_unroll_parity():
+    """``scan_unroll`` only changes XLA loop emission (fewer trips, unrolled
+    bodies) — the plan-mode rollout must be bit-identical at any unroll,
+    including one that does not divide the horizon."""
+    kw = dict(n_context=2, num_masks=3, kernel_size=3, sna=True,
+              num_distribs=1, sdim=3, adim=3, std_factor=4,
+              enc_features=(16, 32, 32), separable_lstm=True, lstm_kernel=3)
+    base = CDNAPredictor(scan_unroll=1, **kw)
+    key = jax.random.PRNGKey(0)
+    B, T, H, W = 2, 10, 16, 16
+    images = jax.random.uniform(key, (B, 2, H, W, 3))
+    states = jax.random.normal(key, (B, 2, 3)) * 0.1
+    actions = jax.random.normal(key, (B, T, 3)) * 0.1
+    distribs = jnp.zeros((B, 2, H, W, 1)).at[:, :, 5, 5, 0].set(1.0)
+    params = base.init(key, images, actions, states, distribs)
+    carry = base.apply(params, images, actions[:, :1], states, distribs,
+                       method='encode_context')
+    ref = base.apply(params, carry, actions, method='rollout_from')
+    for unroll in (3, 5):
+        out = CDNAPredictor(scan_unroll=unroll, **kw).apply(
+            params, carry, actions, method='rollout_from')
+        for k in ref:
+            assert float(jnp.abs(ref[k] - out[k]).max()) == 0.0, (unroll, k)

@@ -471,6 +471,7 @@ class CDNAPredictor(nn.Module):
     std_factor: int = 0
     renorm_distribs: bool = True
     s2d_tail: bool = False
+    scan_unroll: int = 1        # XLA loop unroll of the plan-mode time scan
 
     @property
     def _s2d_active(self):
@@ -478,11 +479,16 @@ class CDNAPredictor(nn.Module):
                 and not self.use_pallas_warp)
 
     def _make_step(self, plan_mode=False):
+        # Unrolling applies to the serving rollout only: training keeps the
+        # step-per-iteration scan (rematerialization-friendly), while the
+        # plan-mode scan trades compile time for fewer loop trips and
+        # cross-step fusion opportunities.
         ScannedStep = nn.scan(
             CDNAStep,
             variable_broadcast='params',
             split_rngs={'params': False},
-            in_axes=0, out_axes=0)
+            in_axes=0, out_axes=0,
+            unroll=self.scan_unroll if plan_mode else 1)
         # plan_mode changes only the xs structure (no parameters), so both
         # variants share the 'step' parameter scope.
         return ScannedStep(num_masks=self.num_masks,

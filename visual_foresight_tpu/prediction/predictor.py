@@ -70,6 +70,9 @@ DEFAULT_HPARAMS = {
     # real chip (the K*K concat-shifted block copies swamp HBM; XLA tiles
     # the full-res elementwise taps far better than the 6-D block layout)
     's2d_tail': False,
+    # XLA unroll of the plan-mode time scan (serving only): >1 trades
+    # compile time for fewer loop trips and cross-step fusion
+    'scan_unroll': 1,
 }
 
 
@@ -101,6 +104,7 @@ class TPUPredictor:
             enc_features=tuple(hp['enc_features']),
             renorm_distribs=hp['renorm_distribs'],
             s2d_tail=hp['s2d_tail'],
+            scan_unroll=hp['scan_unroll'],
             **(model_kwargs or {}))
 
         self.params = None          # list: one pytree per camera
@@ -178,7 +182,8 @@ class TPUPredictor:
             std_factor=self._hp['std_factor'],
             enc_features=tuple(self._hp['enc_features']),
             renorm_distribs=self._hp['renorm_distribs'],
-            s2d_tail=self._hp['s2d_tail'])
+            s2d_tail=self._hp['s2d_tail'],
+            scan_unroll=self._hp['scan_unroll'])
 
     @staticmethod
     def _latest_tf1_prefix(view_dir):
