@@ -1,12 +1,19 @@
 """Benchmark config #3: stochastic (latent) predictor + autograsp action
 space (capability of the reference's autograsp benchmark family —
-``envs/mujoco_env/cartgripper_env/autograsp_env.py`` +
-``policy/cem_controllers/samplers/autograsp_sampler.py:21-58``).
+``envs/mujoco_env/cartgripper_env/autograsp_env.py``; the reference pairs
+this env with a plain 4-dim sampler, e.g.
+``experiments/robonet/baxter_fine_tune/sawyer_baxter_fine_tune.py:46``).
 
-The policy samples xyz/theta motion; the gripper dimension comes from the
-AutograspSampler's cumulative-z latch.  The predictor is the SAVP-style
-stochastic variant (``latent_dim > 0``): the planner draws one latent per
-CEM sample, marginalizing motion stochasticity during scoring.
+The policy samples xyz/theta deltas; the GRIPPER IS LATCHED BY THE ENV
+(autograsp dynamics close below zthresh, reopen unless holding), so the
+sampler is the default Gaussian over the 4 commanded dims and the replan
+runs in the fused single-dispatch planner.  AutograspSampler is for
+explicit-gripper (5-dim vanilla) action spaces, where its derived
+cumulative-z gripper command is the env's trailing action dim — pairing it
+with an auto-latching 4-dim env would feed the +/-1 grip command into the
+theta dim.  The predictor is the SAVP-style stochastic variant
+(``latent_dim > 0``): the planner draws one latent per CEM sample,
+marginalizing motion stochasticity during scoring.
 """
 
 import os.path
@@ -17,8 +24,6 @@ from visual_foresight_tpu.agent.benchmarking_agent import BenchmarkAgent
 from visual_foresight_tpu.envs.mujoco_env.cartgripper_env.autograsp_env import (
     AutograspCartgripperEnv)
 from visual_foresight_tpu.policy.cem_controllers import PixelCostController
-from visual_foresight_tpu.policy.cem_controllers.samplers.autograsp_sampler import (
-    AutograspSampler)
 
 BASE_DIR = '/'.join(str.split(__file__, '/')[:-1])
 current_dir = os.path.dirname(os.path.realpath(__file__))
@@ -48,23 +53,16 @@ agent = {
 
 policy = {
     'type': PixelCostController,
-    'sampler': AutograspSampler,
-    'initial_std': 0.02,
-    'initial_std_lift': 0.08,
-    'initial_std_rot': np.pi / 18,
-    'z_thresh': -0.06,
-    'action_norm_factor': 1.0,
-    'reopen': True,
+    'initial_std': 0.04,
+    'initial_std_lift': 0.6,
+    'initial_std_rot': np.pi / 32,
     'rejection_sampling': False,
     'replan_interval': 10,
-    'num_samples': 200,
+    'num_samples': 600,
     'nactions': 10,
     'repeat': 3,
     'T': 30,
     'iterations': 3,
-    # the AutograspSampler is a host-side sampler: the fused single-dispatch
-    # planner only covers GaussianCEMSampler semantics
-    'use_fused_planner': False,
     'predictor_hparams': {
         # stochastic SAVP-style variant: per-sample latents during planning
         'latent_dim': 8,

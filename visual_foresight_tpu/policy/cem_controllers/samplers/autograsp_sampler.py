@@ -3,6 +3,14 @@
 Samples xyz/theta motion with the Gaussian sampler and derives the gripper
 dimension from cumulative-z threshold logic (+ optional reopen, deviation
 noise, and close-probability resampling of the gripper on refit).
+
+Pairing contract: the derived gripper command becomes the TRAILING action
+dim, so this sampler is for explicit-gripper action spaces (e.g. the 5-dim
+``VanillaEnv`` family) where the env consumes that dim as the grip command.
+Auto-latching envs (``AutograspCartgripperEnv`` / robot ``AutograspEnv``,
+4-dim xyz/theta commands, gripper latched by the env) take the default
+Gaussian sampler over all commanded dims — appending a +/-1 "grip" value
+there would feed it into the theta dim.
 """
 
 import numpy as np
