@@ -94,3 +94,93 @@ def test_sampler_policy_plays_fixed_plan():
     # replays the t=0 plan (no resampling mid-traj)
     a0_again = p.act(t=0)  # new traj -> new plan
     assert not np.allclose(a0, a1)
+
+
+def test_autograsp_latch_device_matches_host():
+    """The fused planner's on-device gripper derivation
+    (``planners/gaussian.autograsp_gripper_latch``) must reproduce the host
+    ``AutograspSampler._sample_gripper`` bit-for-bit on the same base plans
+    (both reopen modes)."""
+    import jax.numpy as jnp
+    from visual_foresight_tpu.planners.gaussian import autograsp_gripper_latch
+    from visual_foresight_tpu.policy.cem_controllers.samplers.autograsp_sampler import (
+        AutograspSampler)
+
+    rng = np.random.RandomState(3)
+    base = (rng.randn(16, 12, 3) * 0.4).astype(np.float32)
+    current_state = np.array([0.1, -0.2, 0.35], np.float32)
+
+    for reopen in (False, True):
+        hp_dict = AutograspSampler.get_default_hparams()
+        hp_dict.update({'rejection_sampling': False, 'nactions': 12,
+                        'repeat': 1, 'z_thresh': 0.15, 'reopen': reopen,
+                        'action_norm_factor': 0.7, 'action_order': None})
+        s = AutograspSampler(_hp(hp_dict), 4, 4)
+        s._current_state = current_state
+        host = s._sample_gripper(base.copy(), base.shape[0])
+
+        dev = np.asarray(autograsp_gripper_latch(
+            jnp.asarray(base), current_state[2], 0.15, norm_factor=0.7,
+            reopen=reopen, close_cmd=hp_dict['gripper_close_cmd'],
+            open_cmd=hp_dict['gripper_open_cmd']))
+        np.testing.assert_array_equal(dev, host.astype(np.float32))
+
+
+def test_fused_autograsp_planner_latches_grip():
+    """FusedCEMPlanner(autograsp=...): the returned best plans carry the
+    derived grip command as the trailing dim, and the refit distribution
+    stays base-dim."""
+    import jax
+    import jax.numpy as jnp
+    from visual_foresight_tpu.models.cdna import CDNAPredictor
+    from visual_foresight_tpu.planners import costs as cost_lib
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+    from visual_foresight_tpu.planners.gaussian import (initial_mean,
+                                                        initial_sigma,
+                                                        make_action_spec)
+
+    model = CDNAPredictor(n_context=2, num_masks=4, num_distribs=1, sdim=3,
+                          adim=4, enc_features=(8, 16, 32))
+    hp = {'initial_std': 0.3, 'initial_std_lift': 0.4,
+          'initial_std_rot': 0.1, 'initial_std_grasp': 2.0,
+          'action_order': None, 'nactions': 6, 'repeat': 1}
+    spec = make_action_spec(hp, 3)   # base dims only (x, y, z)
+    key = jax.random.PRNGKey(0)
+    H, W = 16, 24
+    imgs = jax.random.uniform(key, (1, 2, H, W, 3))
+    states = jnp.zeros((1, 2, 3)).at[:, :, 2].set(0.5)
+    distribs = jnp.zeros((1, 2, H, W, 1)).at[:, :, 8, 12, 0].set(1.0)
+    params = model.init(key, imgs, jnp.zeros((1, 5, 4)), states, distribs)
+
+    planner = FusedCEMPlanner(
+        model, spec, num_samples=24, iterations=2, k_elite=6, n_vis=4,
+        autograsp={'z_thresh': 0.35, 'norm_factor': 1.0, 'close_cmd': 1.0,
+                   'open_cmd': -1.0, 'reopen': False, 'deviation_prob': 0.0,
+                   'no_refit': True})
+    grids = cost_lib.distance_grid(jnp.asarray([[[4.0, 20.0]]]), H, W)
+    result = planner.replan(
+        [params], jax.random.PRNGKey(3), imgs[0][None][0][None],
+        states[0], distribs[0][None][0][None], jnp.zeros((1, 4)), grids,
+        initial_mean(spec), initial_sigma(spec))
+
+    best = np.asarray(result['best_actions'])
+    assert best.shape == (6, 6, 4)             # base 3 + derived grip
+    grip = best[..., -1]
+    assert set(np.unique(grip)).issubset({-1.0, 1.0})
+    # sticky latch (reopen=False): once closed, stays closed
+    for b in range(grip.shape[0]):
+        closed = np.where(grip[b] == 1.0)[0]
+        if len(closed):
+            assert np.all(grip[b, closed[0]:] == 1.0)
+    # refit distribution covers base dims only
+    assert result['mean'].shape == (18,)
+    assert result['sigma'].shape == (18, 18)
+
+    # deterministic latch extremes: a threshold above any reachable z closes
+    # every step; one below any reachable z never closes
+    import jax.numpy as jnp2
+    from visual_foresight_tpu.planners.gaussian import autograsp_gripper_latch
+    base = jnp2.asarray(np.random.RandomState(0).randn(4, 6, 3) * 0.3)
+    always = np.asarray(autograsp_gripper_latch(base, 0.5, 1e3))[..., -1]
+    never = np.asarray(autograsp_gripper_latch(base, 0.5, -1e3))[..., -1]
+    assert (always == 1.0).all() and (never == -1.0).all()

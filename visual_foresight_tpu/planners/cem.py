@@ -21,8 +21,9 @@ import jax
 import jax.numpy as jnp
 
 from visual_foresight_tpu.planners import costs as cost_lib
-from visual_foresight_tpu.planners.gaussian import (ActionSpec, fit_elites,
-                                                    sample_actions)
+from visual_foresight_tpu.planners.gaussian import (
+    ActionSpec, autograsp_gripper_latch, autograsp_gripper_resample,
+    fit_elites, sample_actions)
 
 
 class FusedCEMPlanner:
@@ -49,7 +50,8 @@ class FusedCEMPlanner:
                  cost_fn=None, n_vis: int = 10, blockdiag_refit: bool = False,
                  donate_dist: bool = True, mesh=None,
                  smooth_cov: bool = False, add_zero_action: bool = False,
-                 mppi: Optional[dict] = None):
+                 mppi: Optional[dict] = None,
+                 autograsp: Optional[dict] = None):
         self._model = model
         self._spec = spec
         self._M = num_samples
@@ -69,6 +71,15 @@ class FusedCEMPlanner:
         # around a soft elite-weighted mean plan instead of Gaussian refit.
         # Keys: kappa, beta_0, beta_1, refit_cov, mean_bias, per_dim_std.
         self._mppi = dict(mppi) if mppi else None
+        # Autograsp mode (AutograspSampler semantics for explicit-gripper
+        # action spaces): the spec covers the base xyz/theta dims; the grip
+        # command is derived on device from the cumulative-z latch and
+        # appended as the trailing plan dim.  Keys: z_thresh, norm_factor,
+        # close_cmd, open_cmd, reopen, deviation_prob, no_refit,
+        # z_index (plan z dim), state_z_index (z in the state vector).
+        self._ag = dict(autograsp) if autograsp else None
+        assert not (self._ag and self._mppi), \
+            'autograsp latch composes with Gaussian sampling, not MPPI'
         # Multi-chip: shard the sample axis over the mesh.  A single sharding
         # constraint on the sampled plans is enough — XLA propagates the
         # partitioning through the rollout and inserts an all-gather of the
@@ -204,8 +215,9 @@ class FusedCEMPlanner:
 
         sigma_prev = sigma   # smooth_cov blends each refit with the previous
         mppi_cov = None
+        grip_close_prob_elites = None   # no_refit=False: last iter's elites
         for itr in range(self._iterations):
-            key, k_sample, k_model = jax.random.split(key, 3)
+            key, k_sample, k_model, k_grip = jax.random.split(key, 4)
             if self._mppi is not None:
                 plan = self._sample_mppi(k_sample, mean, mppi_cov, anchor,
                                          anchor_valid, M)       # (M,T,adim)
@@ -217,6 +229,27 @@ class FusedCEMPlanner:
                     # one candidate is always the null plan (reference
                     # gaussian_sampler add_zero_action)
                     plan = plan.at[0].set(0.0)
+            if self._ag is not None:
+                ag = self._ag
+                if grip_close_prob_elites is None:
+                    current_z = context_states[
+                        -1, ag.get('state_z_index', 2)]
+                    k_grip, k_dev = jax.random.split(k_grip)
+                    plan = autograsp_gripper_latch(
+                        plan, current_z, ag['z_thresh'],
+                        norm_factor=ag.get('norm_factor', 1.0),
+                        reopen=ag.get('reopen', False),
+                        close_cmd=ag.get('close_cmd', 1.0),
+                        open_cmd=ag.get('open_cmd', -1.0),
+                        z_index=ag.get('z_index', 2),
+                        deviation_key=k_dev,
+                        deviation_prob=ag.get('deviation_prob', 0.0))
+                else:
+                    grip = autograsp_gripper_resample(
+                        k_grip, grip_close_prob_elites, M, plan.shape[1],
+                        close_cmd=ag.get('close_cmd', 1.0),
+                        open_cmd=ag.get('open_cmd', -1.0))
+                    plan = jnp.concatenate([plan, grip[..., None]], axis=-1)
             if self._plan_sharding is not None:
                 plan = jax.lax.with_sharding_constraint(
                     plan, self._plan_sharding)
@@ -247,7 +280,13 @@ class FusedCEMPlanner:
             elif self._mppi is not None:
                 mean, mppi_cov = self._mppi_update(elite_actions, -neg_top)
             else:
-                mean, sigma = fit_elites(elite_actions, spec,
+                refit_elites = elite_actions
+                if self._ag is not None:
+                    # the latched grip dim is derived, never refit
+                    refit_elites = elite_actions[..., :-1]
+                    if not self._ag.get('no_refit', True):
+                        grip_close_prob_elites = elite_actions
+                mean, sigma = fit_elites(refit_elites, spec,
                                          blockdiag=self._blockdiag)
                 if self._smooth_cov:
                     # reference gaussian_sampler.py smooth_cov: blend each

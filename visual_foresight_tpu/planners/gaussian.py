@@ -183,3 +183,38 @@ def shift_sigma(sigma, spec: ActionSpec, reuse_fraction: float):
         sigma[adim:, adim:] + init[:dim - adim, :dim - adim] * reuse_fraction)
     out = out.at[dim - adim:, dim - adim:].set(init[:adim, :adim])
     return out
+
+
+def autograsp_gripper_latch(base_actions, current_z, z_thresh,
+                            norm_factor=1.0, reopen=False,
+                            close_cmd=1.0, open_cmd=-1.0, z_index=2,
+                            deviation_key=None, deviation_prob=0.0):
+    """AutograspSampler's cumulative-z gripper derivation as device math
+    (host twin: ``samplers/autograsp_sampler.py _sample_gripper``, reference
+    ``samplers/autograsp_sampler.py:21-58``).
+
+    :param base_actions: (M, T, adim_base) sampled xyz/theta plans
+    :param current_z: scalar gripper z at plan time (state index 2)
+    :return: (M, T, adim_base + 1) plans with the latched grip appended
+    """
+    z = base_actions[:, :, z_index]
+    close = (jnp.cumsum(z * norm_factor, axis=1) + current_z) < z_thresh
+    if not reopen:
+        # sticky: once closed, stays closed for the rest of the plan
+        close = jnp.cumsum(close.astype(jnp.int32), axis=1) > 0
+    if deviation_prob and deviation_key is not None:
+        flip = jax.random.uniform(deviation_key, close.shape) < deviation_prob
+        close = jnp.logical_xor(close, flip)
+    grip = jnp.where(close, close_cmd, open_cmd).astype(base_actions.dtype)
+    return jnp.concatenate([base_actions, grip[..., None]], axis=-1)
+
+
+def autograsp_gripper_resample(key, elite_actions, nsamples, nactions,
+                               close_cmd=1.0, open_cmd=-1.0):
+    """``no_refit=False`` refit semantics: per-timestep close probability
+    from the elites, Bernoulli gripper per fresh sample (reference
+    ``samplers/autograsp_sampler.py sample_next_actions``)."""
+    close_prob = jnp.mean(
+        (elite_actions[:, :, -1] == close_cmd).astype(jnp.float32), axis=0)
+    cmd = jax.random.uniform(key, (nsamples, nactions)) < close_prob[None]
+    return jnp.where(cmd, close_cmd, open_cmd)

@@ -27,6 +27,7 @@ from visual_foresight_tpu.planners.gaussian import (ActionSpec, initial_mean,
                                                     shift_sigma)
 from visual_foresight_tpu.prediction.predictor import TPUPredictor
 from .cem_base_controller import CEMBaseController
+from .samplers.autograsp_sampler import AutograspSampler
 from .samplers.correlated_noise import CorrelatedNoiseSampler
 from .samplers.gaussian_sampler import GaussianCEMSampler
 from .visualizer.construct_html import (fill_template, save_gifs, save_html,
@@ -76,10 +77,28 @@ class PixelCostController(CEMBaseController):
         self._fused_state = None
         self._rng = jax.random.PRNGKey(policyparams.get('seed', 0))
         if self._hp.use_fused_planner and self._fused_planner_supported():
-            if self._hp.sampler is GaussianCEMSampler:
-                spec = make_action_spec(self._hp.values(), self._adim)
+            if self._hp.sampler in (GaussianCEMSampler, AutograspSampler):
+                # AutograspSampler (explicit-gripper action spaces): the
+                # Gaussian spec covers the base xyz/theta dims; the grip dim
+                # is latched on device (planners/gaussian.py
+                # autograsp_gripper_latch) — same single-dispatch program
+                is_ag = self._hp.sampler is AutograspSampler
+                spec = make_action_spec(
+                    self._hp.values(),
+                    self._adim - 1 if is_ag else self._adim)
                 assert spec.nactions * spec.repeat == self._hp.T, \
                     'T must equal nactions*repeat'
+                ag_cfg = None
+                if is_ag:
+                    ag_cfg = {
+                        'z_thresh': self._hp.z_thresh,
+                        'norm_factor': self._hp.action_norm_factor,
+                        'close_cmd': self._hp.gripper_close_cmd,
+                        'open_cmd': self._hp.gripper_open_cmd,
+                        'reopen': self._hp.reopen,
+                        'deviation_prob': self._hp.deviation_prob,
+                        'no_refit': self._hp.no_refit,
+                    }
                 self._fused = FusedCEMPlanner(
                     self.predictor.model, spec, self._hp.num_samples,
                     iterations=self._hp.iterations, k_elite=self.elite_count,
@@ -89,7 +108,8 @@ class PixelCostController(CEMBaseController):
                     only_first_view=self._hp.only_take_first_view,
                     blockdiag_refit=self._hp.cov_blockdiag,
                     smooth_cov=self._hp.smooth_cov,
-                    add_zero_action=self._hp.add_zero_action)
+                    add_zero_action=self._hp.add_zero_action,
+                    autograsp=ag_cfg)
             elif self._hp.sampler is CorrelatedNoiseSampler:
                 # fused MPPI: AR(1) noise + soft elite-weighted mean update
                 # run as the same single-dispatch device program
@@ -203,6 +223,8 @@ class PixelCostController(CEMBaseController):
         plans = self._sampler.best_action_plans
         if hp.reuse_mean and warm_ok and plans and plans[-1] is not None:
             plan = np.asarray(plans[-1][0])       # remaining control-cadence
+            # autograsp mode: the trailing grip dim is derived, not sampled
+            plan = plan[:, :spec.adim]
             short = plan.shape[0] % spec.repeat
             if short:
                 plan = np.concatenate(
