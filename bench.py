@@ -19,6 +19,7 @@ Prints ONE json line:
 """
 
 import json
+import os
 import time
 
 import jax
@@ -50,6 +51,7 @@ def main():
         'img_dims': (H, W), 'adim': 3, 'sdim': 3, 'dtype': 'bfloat16',
         'std_factor': 4, 'enc_features': (128, 256, 256),
         'separable_lstm': True, 'lstm_kernel': 3,
+        'scan_unroll': int(os.environ.get('VF_BENCH_UNROLL', '1')),
     })
     predictor.restore()
 

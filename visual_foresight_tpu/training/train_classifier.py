@@ -93,6 +93,11 @@ def synthetic_goal_batches(args, seed=0):
     rng = np.random.RandomState(seed)
     h, w = args.image_height, args.image_width
     cells = [(r, c) for r in range(0, h - 8, 12) for c in range(0, w - 8, 16)]
+    if len(cells) < 2:
+        # tiny frames (test resolutions): at least the four corner cells so
+        # "wrong cell" negatives always exist
+        cells = [(r, c) for r in sorted({0, max(h - 8, 0)})
+                 for c in sorted({0, max(w - 8, 0)})]
     while True:
         cur = rng.rand(args.batch_size, h, w, 3).astype(np.float32) * 0.2
         goal = rng.rand(args.batch_size, h, w, 3).astype(np.float32) * 0.2
