@@ -347,7 +347,11 @@ def train(args):
             m['step'] = step
             m['sec'] = round(time.time() - t0, 1)
             history.append(m)
-            print(json.dumps(m))
+            # flush=True: over the remote-TPU tunnel the float() fetch above
+            # is the loop's only real sync point, so an unflushed line makes
+            # an externally-monitored run look wedged (or hides where a real
+            # wedge happened) under block-buffered redirection
+            print(json.dumps(m), flush=True)
         if args.model_dir and args.ckpt_every and \
                 step > 0 and step % args.ckpt_every == 0:
             _save_all(args, params, opt_state, step)
