@@ -30,6 +30,10 @@ def main(cmd_args=None):
     parser.add_argument('--out_dir', type=str, default='pred_vis')
     parser.add_argument('--mode', type=str, default='val')
     args = parser.parse_args(cmd_args)
+    if args.platform:
+        # must land before first jax use — the axon plugin ignores
+        # JAX_PLATFORMS (train_predictor.__main__ does the same)
+        jax.config.update('jax_platforms', args.platform)
 
     model = build_model(args)
     key = jax.random.PRNGKey(0)
