@@ -178,3 +178,41 @@ def test_pixel_controller_fused_mppi():
                        verbose_worker=None)
         assert out['actions'].shape == (3,)
     assert out['plan_stat']['scores_itr0'].shape == (8,)
+
+
+def test_pixel_controller_fused_autograsp():
+    """AutograspSampler configs (explicit-gripper action space) run in the
+    fused device program: base dims sampled, grip latched on device, actions
+    come back with the +/-1 grip command in the trailing dim."""
+    from visual_foresight_tpu.policy.cem_controllers.pixel_cost_controller import (
+        PixelCostController)
+    from visual_foresight_tpu.policy.cem_controllers.samplers.autograsp_sampler import (
+        AutograspSampler)
+    ag_params = {'adim': 4, 'sdim': 3, 'ncam': 1, 'image_height': 16,
+                 'image_width': 24, 'T': 6}
+    policy = {
+        'T': 6, 'nactions': 2, 'num_samples': 8, 'minimum_selection': 3,
+        'verbose': False, 'predictor_hparams': SMALL_PREDICTOR,
+        'sampler': AutograspSampler,
+        'initial_std_lift': 0.1, 'rejection_sampling': False,
+        'z_thresh': 0.05, 'reopen': True,
+    }
+    ctrl = PixelCostController(ag_params, policy)
+    assert ctrl._fused is not None and ctrl._fused._ag is not None, \
+        'AutograspSampler must ride the fused planner'
+
+    images, state, _ = _history(5)
+    desig = np.array([[[4, 6]]])
+    goal = np.array([[[10, 18]]])
+    ctrl.reset()
+    hist_i, hist_s = [images[0]], [state[0]]
+    for t in range(3):
+        hist_i.append(images[t % 2])
+        hist_s.append(state[t % 2])
+        out = ctrl.act(t=t, i_tr=0, desig_pix=desig, goal_pix=goal,
+                       images=np.stack(hist_i), state=np.stack(hist_s),
+                       verbose_worker=None)
+        assert out['actions'].shape == (4,)
+        if t >= 1:   # t=0 is the controller's warm-up zeros action
+            assert out['actions'][3] in (-1.0, 1.0)
+    assert out['plan_stat']['scores_itr0'].shape == (8,)
