@@ -184,3 +184,22 @@ def test_fused_autograsp_planner_latches_grip():
     always = np.asarray(autograsp_gripper_latch(base, 0.5, 1e3))[..., -1]
     never = np.asarray(autograsp_gripper_latch(base, 0.5, -1e3))[..., -1]
     assert (always == 1.0).all() and (never == -1.0).all()
+
+
+def test_autograsp_close_prob_resample():
+    """no_refit=False semantics: per-timestep elite close frequency drives
+    Bernoulli gripper resampling (host sample_next_actions twin)."""
+    import jax
+    import jax.numpy as jnp
+    from visual_foresight_tpu.planners.gaussian import (
+        autograsp_gripper_resample)
+    elites = np.zeros((4, 6, 4), np.float32)
+    elites[..., -1] = -1.0
+    elites[:, 2:, -1] = 1.0        # all elites close from t=2 on
+    elites[0, 0, -1] = 1.0         # 25% close at t=0
+    grip = np.asarray(autograsp_gripper_resample(
+        jax.random.PRNGKey(0), jnp.asarray(elites), 400, 6))
+    freq = (grip == 1.0).mean(axis=0)
+    assert freq[1] == 0.0                          # nobody closed at t=1
+    assert (freq[2:] == 1.0).all()                 # everyone closes t>=2
+    assert 0.15 < freq[0] < 0.35                   # ~25% at t=0
