@@ -178,9 +178,8 @@ def test_fused_autograsp_planner_latches_grip():
 
     # deterministic latch extremes: a threshold above any reachable z closes
     # every step; one below any reachable z never closes
-    import jax.numpy as jnp2
     from visual_foresight_tpu.planners.gaussian import autograsp_gripper_latch
-    base = jnp2.asarray(np.random.RandomState(0).randn(4, 6, 3) * 0.3)
+    base = jnp.asarray(np.random.RandomState(0).randn(4, 6, 3) * 0.3)
     always = np.asarray(autograsp_gripper_latch(base, 0.5, 1e3))[..., -1]
     never = np.asarray(autograsp_gripper_latch(base, 0.5, -1e3))[..., -1]
     assert (always == 1.0).all() and (never == -1.0).all()

@@ -88,6 +88,14 @@ class PixelCostController(CEMBaseController):
                     self._adim - 1 if is_ag else self._adim)
                 assert spec.nactions * spec.repeat == self._hp.T, \
                     'T must equal nactions*repeat'
+                # an action_order listing 'grasp' would make make_action_spec
+                # ignore the base-dim count and sample the grip dim the latch
+                # is about to derive — reject rather than plan (adim+1) dims
+                assert spec.adim == (self._adim - 1 if is_ag else self._adim), \
+                    ('action_order yields a {}-dim spec but the fused '
+                     '{} path needs {} sampled dims'.format(
+                         spec.adim, 'autograsp' if is_ag else 'gaussian',
+                         self._adim - 1 if is_ag else self._adim))
                 ag_cfg = None
                 if is_ag:
                     ag_cfg = {

@@ -92,12 +92,14 @@ def synthetic_goal_batches(args, seed=0):
     classifier cannot beat chance here — the quality gate for the recipe."""
     rng = np.random.RandomState(seed)
     h, w = args.image_height, args.image_width
-    cells = [(r, c) for r in range(0, h - 8, 12) for c in range(0, w - 8, 16)]
+    # shrink the square on tiny frames so at least two DISJOINT cells exist
+    s = 8 if min(h, w) >= 16 else max(2, min(h, w) // 2)
+    cells = [(r, c) for r in range(0, h - s, 12) for c in range(0, w - s, 16)]
     if len(cells) < 2:
-        # tiny frames (test resolutions): at least the four corner cells so
-        # "wrong cell" negatives always exist
-        cells = [(r, c) for r in sorted({0, max(h - 8, 0)})
-                 for c in sorted({0, max(w - 8, 0)})]
+        # corner cells: disjoint by construction since s <= min(h, w) // 2
+        cells = sorted({(r, c) for r in (0, max(h - s, 0))
+                        for c in (0, max(w - s, 0))})
+    assert len(cells) >= 2, 'frame too small for a goal-conditioned task'
     while True:
         cur = rng.rand(args.batch_size, h, w, 3).astype(np.float32) * 0.2
         goal = rng.rand(args.batch_size, h, w, 3).astype(np.float32) * 0.2
@@ -107,9 +109,9 @@ def synthetic_goal_batches(args, seed=0):
             ci = gi if labels[i] > 0.5 else \
                 (gi + 1 + rng.randint(len(cells) - 1)) % len(cells)
             r, c = cells[ci]
-            cur[i, r:r + 8, c:c + 8] += 0.7
+            cur[i, r:r + s, c:c + s] += 0.7
             r, c = cells[gi]
-            goal[i, r:r + 8, c:c + 8] += 0.7
+            goal[i, r:r + s, c:c + s] += 0.7
         yield cur, goal, labels, np.ones_like(labels)
 
 
