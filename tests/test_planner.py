@@ -306,3 +306,41 @@ def test_fused_mppi_finds_goal_directed_plan():
     best = np.asarray(result['best_scores'])
     assert best[0] <= scores[-1].mean()
     assert result['best_actions'].shape == (4, 6, 3)
+
+
+def test_fused_stochastic_planning_copies():
+    """stochastic_planning=(K,) fused semantics (reference
+    gaussian_sampler.py:140-141): each unique plan appears K times.  With a
+    deterministic model the K copies must score identically; with a
+    stochastic latent each copy draws its own prior sample and scores
+    differ."""
+    from visual_foresight_tpu.models.cdna import CDNAPredictor
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+
+    H, W, K, M = 16, 24, 3, 12
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (1, 2, H, W, 3))
+    states = jnp.zeros((1, 2, 3))
+    distribs = jnp.zeros((1, 2, H, W, 1)).at[:, :, 8, 12, 0].set(1.0)
+    grids = cost_lib.distance_grid(jnp.asarray([[[4.0, 20.0]]]), H, W)
+    spec = make_action_spec(HP, 3)
+
+    def run(latent_dim):
+        model = CDNAPredictor(n_context=2, num_masks=4, num_distribs=1,
+                              sdim=3, adim=3, latent_dim=latent_dim,
+                              enc_features=(8, 16, 16))
+        params = model.init(key, imgs, jnp.zeros((1, 7, 3)), states,
+                            distribs)
+        planner = FusedCEMPlanner(model, spec, num_samples=M, iterations=1,
+                                  k_elite=4, stochastic_k=K)
+        out = planner.replan([params], jax.random.PRNGKey(5),
+                             imgs[0][None][0][None], states[0],
+                             distribs[0][None][0][None], jnp.zeros((1, 3)),
+                             grids, initial_mean(spec), initial_sigma(spec))
+        return np.asarray(out['scores_per_itr'])[0].reshape(M // K, K)
+
+    det = run(0)
+    np.testing.assert_allclose(det, det[:, :1].repeat(K, 1), rtol=1e-5)
+    sto = run(4)
+    spread = np.abs(sto - sto.mean(1, keepdims=True)).max()
+    assert spread > 1e-6, 'per-copy latents must decorrelate copy scores'

@@ -51,7 +51,8 @@ class FusedCEMPlanner:
                  donate_dist: bool = True, mesh=None,
                  smooth_cov: bool = False, add_zero_action: bool = False,
                  mppi: Optional[dict] = None,
-                 autograsp: Optional[dict] = None):
+                 autograsp: Optional[dict] = None,
+                 stochastic_k: int = 1):
         self._model = model
         self._spec = spec
         self._M = num_samples
@@ -80,6 +81,13 @@ class FusedCEMPlanner:
         self._ag = dict(autograsp) if autograsp else None
         assert not (self._ag and self._mppi), \
             'autograsp latch composes with Gaussian sampling, not MPPI'
+        # stochastic_planning=(K,) semantics (reference
+        # gaussian_sampler.py:140-141): every unique plan appears K times in
+        # the batch; with a stochastic predictor each copy draws its own
+        # prior latent, so elites favor plans that score well across latents
+        self._stoch_k = int(stochastic_k)
+        assert self._stoch_k >= 1 and num_samples % self._stoch_k == 0, \
+            'num_samples must be a multiple of stochastic_k'
         # Multi-chip: shard the sample axis over the mesh.  A single sharding
         # constraint on the sampled plans is enough — XLA propagates the
         # partitioning through the rollout and inserts an all-gather of the
@@ -222,9 +230,16 @@ class FusedCEMPlanner:
                 plan = self._sample_mppi(k_sample, mean, mppi_cov, anchor,
                                          anchor_valid, M)       # (M,T,adim)
             else:
-                plan = sample_actions(k_sample, mean, sigma, spec, M,
-                                      rejection_rounds=self._rej,
-                                      action_bound=self._bound)  # (M,T,adim)
+                if self._stoch_k > 1:
+                    plan = sample_actions(k_sample, mean, sigma, spec,
+                                          M // self._stoch_k,
+                                          rejection_rounds=self._rej,
+                                          action_bound=self._bound)
+                    plan = jnp.repeat(plan, self._stoch_k, axis=0)
+                else:
+                    plan = sample_actions(k_sample, mean, sigma, spec, M,
+                                          rejection_rounds=self._rej,
+                                          action_bound=self._bound)  # (M,T,adim)
                 if self._add_zero:
                     # one candidate is always the null plan (reference
                     # gaussian_sampler add_zero_action)

@@ -107,8 +107,13 @@ class PixelCostController(CEMBaseController):
                         'deviation_prob': self._hp.deviation_prob,
                         'no_refit': self._hp.no_refit,
                     }
+                # stochastic_planning=(K,): the host sampler expands the
+                # batch to num_samples*K copies (K latents per unique plan)
+                stoch_k = int(self._hp.stochastic_planning[0]) \
+                    if self._hp.stochastic_planning else 1
                 self._fused = FusedCEMPlanner(
-                    self.predictor.model, spec, self._hp.num_samples,
+                    self.predictor.model, spec,
+                    self._hp.num_samples * stoch_k,
                     iterations=self._hp.iterations, k_elite=self.elite_count,
                     finalweight=self._hp.finalweight,
                     rejection_rounds=10 if self._hp.rejection_sampling else 0,
@@ -117,7 +122,7 @@ class PixelCostController(CEMBaseController):
                     blockdiag_refit=self._hp.cov_blockdiag,
                     smooth_cov=self._hp.smooth_cov,
                     add_zero_action=self._hp.add_zero_action,
-                    autograsp=ag_cfg)
+                    autograsp=ag_cfg, stochastic_k=stoch_k)
             elif self._hp.sampler is CorrelatedNoiseSampler:
                 # fused MPPI: AR(1) noise + soft elite-weighted mean update
                 # run as the same single-dispatch device program
@@ -141,12 +146,11 @@ class PixelCostController(CEMBaseController):
                           'mean_bias': self._hp.mean_bias,
                           'per_dim_std': stds})
 
-    # hparams only the host CEM loop honors: per-dim discretization and the
-    # repeat-each-candidate stochastic evaluation change the plan<->score
-    # bookkeeping in ways the fused program does not model.  Everything else
-    # (warm starts, covariance smoothing/shrinking, zero-action, MPPI) now
+    # the one hparam only the host CEM loop honors: per-dim discretization.
+    # Everything else (warm starts, covariance smoothing/shrinking,
+    # zero-action, MPPI, autograsp latch, stochastic_planning K-copies) now
     # runs fused.
-    _FUSED_UNSUPPORTED = {'discrete_ind': None, 'stochastic_planning': None}
+    _FUSED_UNSUPPORTED = {'discrete_ind': None}
 
     def _fused_planner_supported(self):
         offending = [k for k, default in self._FUSED_UNSUPPORTED.items()
@@ -206,6 +210,8 @@ class PixelCostController(CEMBaseController):
         hp = self._hp
         spec = self._fused.spec
         M = hp.num_samples
+        if hp.stochastic_planning:
+            M *= int(hp.stochastic_planning[0])
         anchor = np.zeros(spec.adim, np.float32)
         anchor_valid = 0.0
 
@@ -247,6 +253,9 @@ class PixelCostController(CEMBaseController):
 
         if warm_cov or warm_mean:
             M = max(int(M * hp.reuse_factor), self.elite_count)
+            if hp.stochastic_planning:
+                k = int(hp.stochastic_planning[0])
+                M = ((M + k - 1) // k) * k   # keep K copies per unique plan
         return mean, sigma, M, anchor, anchor_valid
 
     def perform_CEM(self, state):
