@@ -344,3 +344,30 @@ def test_fused_stochastic_planning_copies():
     sto = run(4)
     spread = np.abs(sto - sto.mean(1, keepdims=True)).max()
     assert spread > 1e-6, 'per-copy latents must decorrelate copy scores'
+
+
+def test_fused_discrete_dims():
+    """discrete_ind fused semantics: listed plan dims floor-clip into
+    {0..4} before rollout/refit (reference controller_utils.py:107)."""
+    from visual_foresight_tpu.models.cdna import CDNAPredictor
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+
+    H, W = 16, 24
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (1, 2, H, W, 3))
+    states = jnp.zeros((1, 2, 3))
+    distribs = jnp.zeros((1, 2, H, W, 1)).at[:, :, 8, 12, 0].set(1.0)
+    grids = cost_lib.distance_grid(jnp.asarray([[[4.0, 20.0]]]), H, W)
+    spec = make_action_spec(HP, 3)
+    model = CDNAPredictor(n_context=2, num_masks=4, num_distribs=1, sdim=3,
+                          adim=3, enc_features=(8, 16, 16))
+    params = model.init(key, imgs, jnp.zeros((1, 7, 3)), states, distribs)
+    planner = FusedCEMPlanner(model, spec, num_samples=12, iterations=1,
+                              k_elite=4, discrete_dims=(2,))
+    out = planner.replan([params], jax.random.PRNGKey(5),
+                         imgs[0][None][0][None], states[0],
+                         distribs[0][None][0][None], jnp.zeros((1, 3)),
+                         grids, initial_mean(spec), initial_sigma(spec))
+    grasp = np.asarray(out['best_actions'])[..., 2]
+    assert np.all(grasp == np.floor(grasp))
+    assert grasp.min() >= 0.0 and grasp.max() <= 4.0

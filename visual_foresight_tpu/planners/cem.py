@@ -52,7 +52,8 @@ class FusedCEMPlanner:
                  smooth_cov: bool = False, add_zero_action: bool = False,
                  mppi: Optional[dict] = None,
                  autograsp: Optional[dict] = None,
-                 stochastic_k: int = 1):
+                 stochastic_k: int = 1,
+                 discrete_dims: Sequence[int] = ()):
         self._model = model
         self._spec = spec
         self._M = num_samples
@@ -88,6 +89,9 @@ class FusedCEMPlanner:
         self._stoch_k = int(stochastic_k)
         assert self._stoch_k >= 1 and num_samples % self._stoch_k == 0, \
             'num_samples must be a multiple of stochastic_k'
+        # discrete_ind semantics (reference controller_utils.py:107):
+        # floor-and-clip the listed plan dims into {0..4}
+        self._discrete = tuple(int(d) for d in discrete_dims)
         # Multi-chip: shard the sample axis over the mesh.  A single sharding
         # constraint on the sampled plans is enough — XLA propagates the
         # partitioning through the rollout and inserts an all-gather of the
@@ -240,6 +244,9 @@ class FusedCEMPlanner:
                     plan = sample_actions(k_sample, mean, sigma, spec, M,
                                           rejection_rounds=self._rej,
                                           action_bound=self._bound)  # (M,T,adim)
+                for d in self._discrete:
+                    plan = plan.at[..., d].set(
+                        jnp.clip(jnp.floor(plan[..., d]), 0.0, 4.0))
                 if self._add_zero:
                     # one candidate is always the null plan (reference
                     # gaussian_sampler add_zero_action)

@@ -122,7 +122,8 @@ class PixelCostController(CEMBaseController):
                     blockdiag_refit=self._hp.cov_blockdiag,
                     smooth_cov=self._hp.smooth_cov,
                     add_zero_action=self._hp.add_zero_action,
-                    autograsp=ag_cfg, stochastic_k=stoch_k)
+                    autograsp=ag_cfg, stochastic_k=stoch_k,
+                    discrete_dims=tuple(self._hp.discrete_ind or ()))
             elif self._hp.sampler is CorrelatedNoiseSampler:
                 # fused MPPI: AR(1) noise + soft elite-weighted mean update
                 # run as the same single-dispatch device program
@@ -146,11 +147,11 @@ class PixelCostController(CEMBaseController):
                           'mean_bias': self._hp.mean_bias,
                           'per_dim_std': stds})
 
-    # the one hparam only the host CEM loop honors: per-dim discretization.
-    # Everything else (warm starts, covariance smoothing/shrinking,
-    # zero-action, MPPI, autograsp latch, stochastic_planning K-copies) now
-    # runs fused.
-    _FUSED_UNSUPPORTED = {'discrete_ind': None}
+    # every reference sampler hparam now runs fused (warm starts, covariance
+    # smoothing/shrinking, zero-action, MPPI, autograsp latch,
+    # stochastic_planning K-copies, discrete_ind floor-clip); the dict stays
+    # as the hook for future host-only hparams
+    _FUSED_UNSUPPORTED = {}
 
     def _fused_planner_supported(self):
         offending = [k for k, default in self._FUSED_UNSUPPORTED.items()
