@@ -211,7 +211,8 @@ class PixelCostController(CEMBaseController):
         hp = self._hp
         spec = self._fused.spec
         M = hp.num_samples
-        if hp.stochastic_planning:
+        # Gaussian/autograsp samplers only; MPPI hparams lack the key
+        if hp.get('stochastic_planning', None):
             M *= int(hp.stochastic_planning[0])
         anchor = np.zeros(spec.adim, np.float32)
         anchor_valid = 0.0
@@ -254,7 +255,7 @@ class PixelCostController(CEMBaseController):
 
         if warm_cov or warm_mean:
             M = max(int(M * hp.reuse_factor), self.elite_count)
-            if hp.stochastic_planning:
+            if hp.get('stochastic_planning', None):
                 k = int(hp.stochastic_planning[0])
                 M = ((M + k - 1) // k) * k   # keep K copies per unique plan
         return mean, sigma, M, anchor, anchor_valid
