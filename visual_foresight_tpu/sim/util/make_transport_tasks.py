@@ -40,11 +40,15 @@ def _traj_folders(collection_dir):
     return [p for p in sorted(glob.glob(pattern)) if os.path.isdir(p)]
 
 
-def _load_env(hparams_path):
+def _load_env(hparams_path, reset_state=None):
+    """Construct the collection env; ``reset_state`` must be passed at
+    CONSTRUCTION so the scene XML (object sizes/meshes/colors) matches the
+    saved qpos — ``reset()`` alone restores joint state into whatever scene
+    the env was built with (same contract as ``GeneralAgent._setup_world``)."""
     mod = importlib.machinery.SourceFileLoader(
         'task_gen_conf', hparams_path).load_module()
     env_cls, env_params = mod.config['agent']['env']
-    return env_cls(dict(env_params))
+    return env_cls(dict(env_params), reset_state)
 
 
 def _snapshot(obs, cams):
@@ -138,7 +142,6 @@ def main():
     ap.add_argument('--seed', type=int, default=0)
     args = ap.parse_args()
 
-    env = _load_env(args.hparams)
     rng = np.random.RandomState(args.seed)
     folders = _traj_folders(args.collection_dir)
     if not folders:
@@ -154,8 +157,10 @@ def main():
         with open(os.path.join(folder, 'agent_data.pkl'), 'rb') as f:
             reset_state = pkl.load(f)['reset_state']
         try:
+            env = _load_env(args.hparams, reset_state)
             rs, fs, fg, qpos2, dist = generate(env, reset_state,
                                                args.min_dist, rng)
+            del env
         except ValueError as e:
             print('skip {}: {}'.format(folder, e))
             continue
