@@ -105,3 +105,35 @@ def test_camera_calibration_roundtrip():
     assert np.allclose(got, world, atol=1e-6)
     back = cam.world_to_pixel(world)
     assert np.allclose(back, pixels, atol=1e-4)
+
+
+def test_make_transport_tasks_generate():
+    """Goal-teleport task generation: start/goal snapshots, min-distance
+    respected, objects at rest (no tunneling/explosion)."""
+    import numpy as np
+    from visual_foresight_tpu.envs.mujoco_env.cartgripper_env.autograsp_env import (
+        AutograspCartgripperEnv)
+    from visual_foresight_tpu.sim.util.make_transport_tasks import generate
+
+    env = AutograspCartgripperEnv({
+        'num_objects': 2, 'viewer_image_height': 48,
+        'viewer_image_width': 64, 'cube_objects': True, 'ncam': 1,
+        'autograsp': {'zthresh': -0.06, 'touchthresh': 0.0, 'reopen': True},
+    })
+    rng = np.random.RandomState(0)
+    for _ in range(5):   # some random scenes legitimately fail the
+        _, reset_state = env.reset()   # stability guard — that's its job
+        try:
+            rs, fs, fg, qpos2, dist = generate(env, reset_state, 0.2, rng,
+                                               settle_steps=500)
+            break
+        except ValueError:
+            continue
+    else:
+        raise AssertionError('no stable scene in 5 resets')
+    assert qpos2.shape == (2, 2, 7)
+    assert dist >= 0.15                          # settled near the target
+    assert np.all(np.abs(qpos2[:, :, :3]) < 1.5)  # nothing exploded
+    assert len(fs) == 1 and fs[0].shape == fg[0].shape
+    # the distractor stays put
+    assert np.linalg.norm(qpos2[1, 1, :2] - qpos2[0, 1, :2]) < 0.05
