@@ -27,6 +27,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _arm_tunnel_watchdog(timeout_s=300):
+    """The axon tunnel on this box can wedge with clients blocked at 0 % CPU
+    indefinitely; emit an honest failure line instead of hanging the driver.
+    Returns an Event the main path sets after the first successful device
+    round trip."""
+    import os as _os
+    import threading
+
+    ready = threading.Event()
+
+    def _watch():
+        if not ready.wait(timeout_s):
+            print(json.dumps({
+                'metric': 'cem_replan_hz_p50', 'value': 0.0, 'unit': 'Hz',
+                'vs_baseline': 0.0,
+                'extra': {'error': 'TPU tunnel unreachable: no device round '
+                                   'trip within {}s'.format(timeout_s),
+                          'last_good_measurement':
+                              '22.2 Hz (45.2 ms/replan) 2026-08-17, '
+                              'see docs/PERFORMANCE.md'},
+            }), flush=True)
+            _os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return ready
+
+
 def main():
     from visual_foresight_tpu.planners import costs as cost_lib
     from visual_foresight_tpu.planners.cem import FusedCEMPlanner
@@ -53,7 +80,9 @@ def main():
         'separable_lstm': True, 'lstm_kernel': 3,
         'scan_unroll': int(os.environ.get('VF_BENCH_UNROLL', '1')),
     })
+    ready = _arm_tunnel_watchdog()
     predictor.restore()
+    ready.set()
 
     hp = {'initial_std': 0.05, 'initial_std_lift': 0.15,
           'initial_std_rot': np.pi / 18, 'initial_std_grasp': 2,
