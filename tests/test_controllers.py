@@ -216,3 +216,44 @@ def test_pixel_controller_fused_autograsp():
         if t >= 1:   # t=0 is the controller's warm-up zeros action
             assert out['actions'][3] in (-1.0, 1.0)
     assert out['plan_stat']['scores_itr0'].shape == (8,)
+
+
+def test_pixel_controller_fused_ag_epsilon():
+    """AutograspEpsilon configs run fused: the decaying epsilon fraction and
+    the cumulative-z pivot happen on device, actions keep the explicit
+    +/-1 grip in the trailing dim."""
+    from visual_foresight_tpu.policy.cem_controllers.pixel_cost_controller import (
+        PixelCostController)
+    from visual_foresight_tpu.policy.cem_controllers.samplers.autograsp_epsilon import (
+        AutograspEpsilon)
+    ag_params = {'adim': 4, 'sdim': 4, 'ncam': 1, 'image_height': 16,
+                 'image_width': 24, 'T': 6}
+    policy = {
+        'T': 6, 'nactions': 2, 'num_samples': 8, 'minimum_selection': 3,
+        'verbose': False, 'predictor_hparams': SMALL_PREDICTOR,
+        'sampler': AutograspEpsilon,
+        'initial_std_lift': 0.1, 'rejection_sampling': False,
+        'ag_zthresh': 0.05,
+    }
+    ctrl = PixelCostController(ag_params, policy)
+    assert ctrl._fused is not None and ctrl._fused._ag_eps is not None
+
+    rng_np = np.random.RandomState(6)
+    images = (rng_np.rand(2, 1, 16, 24, 3) * 255).astype(np.uint8)
+    state = rng_np.randn(2, 4).astype(np.float32) * 0.01
+    desig = np.array([[[4, 6]]])
+    goal = np.array([[[10, 18]]])
+    ctrl.reset()
+    hist_i, hist_s = [images[0]], [state[0]]
+    for t in range(3):
+        hist_i.append(images[t % 2])
+        hist_s.append(state[t % 2])
+        out = ctrl.act(t=t, i_tr=0, desig_pix=desig, goal_pix=goal,
+                       images=np.stack(hist_i), state=np.stack(hist_s),
+                       verbose_worker=None)
+        assert out['actions'].shape == (4,)
+    # the decaying fraction leaves later-iteration rows with raw Gaussian
+    # grip values (host semantics), so the executed grip need not be +/-1;
+    # the +/-1 derivation itself is pinned by
+    # test_ag_epsilon_device_matches_host
+    assert out['plan_stat']['scores_itr0'].shape == (8,)

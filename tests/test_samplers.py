@@ -202,3 +202,39 @@ def test_autograsp_close_prob_resample():
     assert freq[1] == 0.0                          # nobody closed at t=1
     assert (freq[2:] == 1.0).all()                 # everyone closes t>=2
     assert 0.15 < freq[0] < 0.35                   # ~25% at t=0
+
+
+def test_ag_epsilon_device_matches_host():
+    """The fused AutograspEpsilon gripper derivation (epsilon=0 for
+    determinism) must match the host ``_apply_ag_epsilon`` on shared plans:
+    same repeat-boundary pivot, including the all-open argmax edge case."""
+    import jax
+    import jax.numpy as jnp
+    from visual_foresight_tpu.planners.gaussian import ag_epsilon_transform
+    from visual_foresight_tpu.policy.cem_controllers.samplers.autograsp_epsilon import (
+        AutograspEpsilon)
+
+    hp_dict = AutograspEpsilon.get_default_hparams()
+    hp_dict.update({'nactions': 4, 'repeat': 3, 'ag_epsilon': 0.0,
+                    'action_order': None, 'ag_zthresh': 0.1, 'z_norm': 0.8,
+                    'rejection_sampling': False})
+    s = AutograspEpsilon(_hp(hp_dict), 4, 4)
+    rng = np.random.RandomState(2)
+    plans = (rng.randn(10, 12, 4) * 0.4).astype(np.float32)
+    state = np.array([0.0, 0.0, 0.25, 0.0], np.float32)
+
+    host = plans.copy()
+    s._apply_ag_epsilon(state, host)
+
+    dev = np.asarray(ag_epsilon_transform(
+        jax.random.PRNGKey(0), jnp.asarray(plans), state[2], 10,
+        z_dim=2, grip_dim=3, z_norm=0.8, zthresh=0.1, epsilon=0.0,
+        repeat=3))
+    np.testing.assert_array_equal(dev, host)
+
+    # epsilon=1 flips every step deterministically
+    dev_flip = np.asarray(ag_epsilon_transform(
+        jax.random.PRNGKey(0), jnp.asarray(plans), state[2], 10,
+        z_dim=2, grip_dim=3, z_norm=0.8, zthresh=0.1, epsilon=1.0,
+        repeat=3))
+    np.testing.assert_array_equal(dev_flip[..., 3], -dev[..., 3])

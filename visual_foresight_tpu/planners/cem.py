@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from visual_foresight_tpu.planners import costs as cost_lib
 from visual_foresight_tpu.planners.gaussian import (
-    ActionSpec, autograsp_gripper_latch, autograsp_gripper_resample,
-    fit_elites, sample_actions)
+    ActionSpec, ag_epsilon_transform, autograsp_gripper_latch,
+    autograsp_gripper_resample, fit_elites, sample_actions)
 
 
 class FusedCEMPlanner:
@@ -53,7 +53,8 @@ class FusedCEMPlanner:
                  mppi: Optional[dict] = None,
                  autograsp: Optional[dict] = None,
                  stochastic_k: int = 1,
-                 discrete_dims: Sequence[int] = ()):
+                 discrete_dims: Sequence[int] = (),
+                 ag_epsilon: Optional[dict] = None):
         self._model = model
         self._spec = spec
         self._M = num_samples
@@ -92,6 +93,13 @@ class FusedCEMPlanner:
         # discrete_ind semantics (reference controller_utils.py:107):
         # floor-and-clip the listed plan dims into {0..4}
         self._discrete = tuple(int(d) for d in discrete_dims)
+        # AutograspEpsilon mode (explicit-gripper spaces): a per-iteration
+        # decaying fraction of rows gets the cumulative-z pivot gripper +
+        # epsilon flips.  Keys: z_dim, grip_dim, z_norm, zthresh, epsilon,
+        # base_frac, base_frac_reduce, repeat, state_z_index.
+        self._ag_eps = dict(ag_epsilon) if ag_epsilon else None
+        assert not (self._ag_eps and (self._ag or self._mppi)), \
+            'ag_epsilon is its own sampling mode'
         # Multi-chip: shard the sample axis over the mesh.  A single sharding
         # constraint on the sampled plans is enough — XLA propagates the
         # partitioning through the rollout and inserts an all-gather of the
@@ -251,6 +259,18 @@ class FusedCEMPlanner:
                     # one candidate is always the null plan (reference
                     # gaussian_sampler add_zero_action)
                     plan = plan.at[0].set(0.0)
+            if self._ag_eps is not None:
+                ae = self._ag_eps
+                amount = max(int(M * ae.get('base_frac', 1.0) *
+                                 ae.get('base_frac_reduce', 0.3) ** itr), 1)
+                state_z = context_states[-1, ae.get('state_z_index',
+                                                    ae['z_dim'])]
+                plan = ag_epsilon_transform(
+                    k_grip, plan, state_z, amount, ae['z_dim'],
+                    ae['grip_dim'], z_norm=ae.get('z_norm', 1.0),
+                    zthresh=ae.get('zthresh', 1.0 / 3),
+                    epsilon=ae.get('epsilon', 0.5),
+                    repeat=ae.get('repeat', 1))
             if self._ag is not None:
                 ag = self._ag
                 if grip_close_prob_elites is None:

@@ -218,3 +218,28 @@ def autograsp_gripper_resample(key, elite_actions, nsamples, nactions,
         (elite_actions[:, :, -1] == close_cmd).astype(jnp.float32), axis=0)
     cmd = jax.random.uniform(key, (nsamples, nactions)) < close_prob[None]
     return jnp.where(cmd, close_cmd, open_cmd)
+
+
+def ag_epsilon_transform(key, plan, state_z, amount, z_dim, grip_dim,
+                         z_norm=1.0, zthresh=1.0 / 3, epsilon=0.5,
+                         repeat=1):
+    """AutograspEpsilon gripper derivation for the first ``amount`` rows
+    (host twin: ``samplers/autograsp_epsilon.py _apply_ag_epsilon``): close
+    from the first repeat-boundary at/below the cumulative-z threshold
+    (open before, closed after — argmax semantics: all-open plans close at
+    t=0, matching the host), then flip every step with prob ``epsilon``.
+
+    ``amount`` must be static (the CEM iteration loop is unrolled).
+    """
+    T = plan.shape[1]
+    z = plan[:amount, :, z_dim]
+    cum = jnp.cumsum(z / z_norm, axis=1) + state_z
+    close = (cum <= zthresh).astype(jnp.int32)
+    first = jnp.argmax(close, axis=1)
+    pivot = first - first % repeat
+    tidx = jnp.arange(T)
+    grip = jnp.where(tidx[None, :] >= pivot[:, None], 1.0, -1.0)
+    flips = jnp.where(
+        jax.random.uniform(key, grip.shape) < epsilon, -1.0, 1.0)
+    grip = (grip * flips).astype(plan.dtype)
+    return plan.at[:amount, :, grip_dim].set(grip)

@@ -27,6 +27,7 @@ from visual_foresight_tpu.planners.gaussian import (ActionSpec, initial_mean,
                                                     shift_sigma)
 from visual_foresight_tpu.prediction.predictor import TPUPredictor
 from .cem_base_controller import CEMBaseController
+from .samplers.autograsp_epsilon import AutograspEpsilon
 from .samplers.autograsp_sampler import AutograspSampler
 from .samplers.correlated_noise import CorrelatedNoiseSampler
 from .samplers.gaussian_sampler import GaussianCEMSampler
@@ -77,7 +78,8 @@ class PixelCostController(CEMBaseController):
         self._fused_state = None
         self._rng = jax.random.PRNGKey(policyparams.get('seed', 0))
         if self._hp.use_fused_planner and self._fused_planner_supported():
-            if self._hp.sampler in (GaussianCEMSampler, AutograspSampler):
+            if self._hp.sampler in (GaussianCEMSampler, AutograspSampler,
+                                    AutograspEpsilon):
                 # AutograspSampler (explicit-gripper action spaces): the
                 # Gaussian spec covers the base xyz/theta dims; the grip dim
                 # is latched on device (planners/gaussian.py
@@ -107,10 +109,32 @@ class PixelCostController(CEMBaseController):
                         'deviation_prob': self._hp.deviation_prob,
                         'no_refit': self._hp.no_refit,
                     }
+                ag_eps_cfg = None
+                if self._hp.sampler is AutograspEpsilon:
+                    # epsilon-greedy gripper exploration over the FULL-dim
+                    # (explicit-gripper) space: dims from action_order as in
+                    # the host sampler's ctor
+                    z_dim, grip_dim = 2, self._adim - 1
+                    if self._hp.action_order is not None:
+                        for i, a in enumerate(self._hp.action_order):
+                            if a == 'grasp':
+                                grip_dim = i
+                            elif a == 'z':
+                                z_dim = i
+                    ag_eps_cfg = {
+                        'z_dim': z_dim, 'grip_dim': grip_dim,
+                        'z_norm': self._hp.z_norm,
+                        'zthresh': self._hp.ag_zthresh,
+                        'epsilon': self._hp.ag_epsilon,
+                        'base_frac': self._hp.base_frac,
+                        'base_frac_reduce': self._hp.base_frac_reduce,
+                        'repeat': spec.repeat,
+                        'state_z_index': z_dim,
+                    }
                 # stochastic_planning=(K,): the host sampler expands the
                 # batch to num_samples*K copies (K latents per unique plan)
-                stoch_k = int(self._hp.stochastic_planning[0]) \
-                    if self._hp.stochastic_planning else 1
+                stoch_k = int(self._hp.get('stochastic_planning', None)[0]) \
+                    if self._hp.get('stochastic_planning', None) else 1
                 self._fused = FusedCEMPlanner(
                     self.predictor.model, spec,
                     self._hp.num_samples * stoch_k,
@@ -123,7 +147,9 @@ class PixelCostController(CEMBaseController):
                     smooth_cov=self._hp.smooth_cov,
                     add_zero_action=self._hp.add_zero_action,
                     autograsp=ag_cfg, stochastic_k=stoch_k,
-                    discrete_dims=tuple(self._hp.discrete_ind or ()))
+                    discrete_dims=tuple(self._hp.get('discrete_ind', None)
+                                        or ()),
+                    ag_epsilon=ag_eps_cfg)
             elif self._hp.sampler is CorrelatedNoiseSampler:
                 # fused MPPI: AR(1) noise + soft elite-weighted mean update
                 # run as the same single-dispatch device program
