@@ -257,3 +257,37 @@ def test_pixel_controller_fused_ag_epsilon():
     # the +/-1 derivation itself is pinned by
     # test_ag_epsilon_device_matches_host
     assert out['plan_stat']['scores_itr0'].shape == (8,)
+
+
+def test_pixel_controller_fused_folding():
+    """FoldingCEMSampler configs run in the fused device program."""
+    from visual_foresight_tpu.policy.cem_controllers.pixel_cost_controller import (
+        PixelCostController)
+    from visual_foresight_tpu.policy.cem_controllers.samplers.folding_sampler import (
+        FoldingCEMSampler)
+    ag_params = {'adim': 4, 'sdim': 4, 'ncam': 1, 'image_height': 16,
+                 'image_width': 24, 'T': 15}
+    policy = {    # folding defaults: nactions 5 x repeat 3 = T 15
+        'num_samples': 8,
+        'minimum_selection': 3, 'verbose': False,
+        'predictor_hparams': dict(SMALL_PREDICTOR, sequence_length=17),
+        'sampler': FoldingCEMSampler,
+    }
+    ctrl = PixelCostController(ag_params, policy)
+    assert ctrl._fused is not None and ctrl._fused._folding is not None
+
+    rng_np = np.random.RandomState(8)
+    images = (rng_np.rand(2, 1, 16, 24, 3) * 255).astype(np.uint8)
+    state = rng_np.rand(2, 4).astype(np.float32) * 0.2
+    desig = np.array([[[4, 6]]])
+    goal = np.array([[[10, 18]]])
+    ctrl.reset()
+    hist_i, hist_s = [images[0]], [state[0]]
+    for t in range(3):
+        hist_i.append(images[t % 2])
+        hist_s.append(state[t % 2])
+        out = ctrl.act(t=t, i_tr=0, desig_pix=desig, goal_pix=goal,
+                       images=np.stack(hist_i), state=np.stack(hist_s),
+                       verbose_worker=None)
+        assert out['actions'].shape == (4,)
+    assert out['plan_stat']['scores_itr0'].shape == (8,)

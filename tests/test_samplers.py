@@ -238,3 +238,48 @@ def test_ag_epsilon_device_matches_host():
         z_dim=2, grip_dim=3, z_norm=0.8, zthresh=0.1, epsilon=1.0,
         repeat=3))
     np.testing.assert_array_equal(dev_flip[..., 3], -dev[..., 3])
+
+
+def test_folding_sample_device_structure():
+    """Device folding prior (planners/gaussian.folding_sample): phase means
+    match the host's pick-fold-place structure, the split-2 tail holds one
+    draw, the remainder follows the refit Gaussian, and xy/z clip to
+    max_shift."""
+    import jax
+    import jax.numpy as jnp
+    from visual_foresight_tpu.planners.gaussian import (ActionSpec,
+                                                        folding_sample)
+
+    n, adim, M = 6, 4, 400
+    spec = ActionSpec(adim=adim, nactions=n, repeat=2,
+                      per_dim_std=(0.05, 0.05, 0.15, 0.17),
+                      clip_dims_xy=(), clip_dims_rot=(), rej_dims_xy=(),
+                      rej_dims_lift=(), xy_std=0.05, lift_std=0.15)
+    dim = n * adim
+    sigma = jnp.eye(dim) * 0.0004          # tiny noise: means dominate
+    mean = jnp.full((dim,), 0.33)
+    state_xy = jnp.asarray([0.4, 0.6])
+    plans = np.asarray(folding_sample(
+        jax.random.PRNGKey(0), mean, sigma, state_xy, M, spec,
+        split_frac=0.5, max_shift=(5.0, 5.0, 5.0), first_itr=False))
+    assert plans.shape == (M, n * 2, adim)
+    ps = 100                                # per_split = int(400*0.5/2)
+    ctrl = plans[:, ::2]                    # one action per repeat block
+
+    # split 1: z means +1, -1, +1, +1, -1
+    z1 = ctrl[:ps, :5, 2].mean(axis=0)
+    np.testing.assert_allclose(z1, [1, -1, 1, 1, -1], atol=0.05)
+    # split 2 holds one draw from step 3 on
+    np.testing.assert_allclose(ctrl[ps:2 * ps, 3], ctrl[ps:2 * ps, 4],
+                               atol=1e-6)
+    np.testing.assert_allclose(ctrl[ps:2 * ps, 3], ctrl[ps:2 * ps, 5],
+                               atol=1e-6)
+    # remainder: plain Gaussian around the refit mean
+    np.testing.assert_allclose(ctrl[2 * ps:].mean(), 0.33, atol=0.01)
+
+    # clipping
+    clipped = np.asarray(folding_sample(
+        jax.random.PRNGKey(1), mean, sigma, state_xy, M, spec,
+        split_frac=0.5, max_shift=(0.1, 0.1, 0.2), first_itr=True))
+    assert np.abs(clipped[:, :, :2]).max() <= 0.1 + 1e-6
+    assert np.abs(clipped[:, :, 2]).max() <= 0.2 + 1e-6

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from visual_foresight_tpu.planners import costs as cost_lib
 from visual_foresight_tpu.planners.gaussian import (
     ActionSpec, ag_epsilon_transform, autograsp_gripper_latch,
-    autograsp_gripper_resample, fit_elites, sample_actions)
+    autograsp_gripper_resample, fit_elites, folding_sample, sample_actions)
 
 
 class FusedCEMPlanner:
@@ -54,7 +54,8 @@ class FusedCEMPlanner:
                  autograsp: Optional[dict] = None,
                  stochastic_k: int = 1,
                  discrete_dims: Sequence[int] = (),
-                 ag_epsilon: Optional[dict] = None):
+                 ag_epsilon: Optional[dict] = None,
+                 folding: Optional[dict] = None):
         self._model = model
         self._spec = spec
         self._M = num_samples
@@ -100,6 +101,13 @@ class FusedCEMPlanner:
         self._ag_eps = dict(ag_epsilon) if ag_epsilon else None
         assert not (self._ag_eps and (self._ag or self._mppi)), \
             'ag_epsilon is its own sampling mode'
+        # Folding mode (FoldingCEMSampler): structured 5-phase pick-fold-
+        # place prior mixed with refit-Gaussian rows.  Keys: split_frac,
+        # max_shift.
+        self._folding = dict(folding) if folding else None
+        assert not (self._folding and (self._ag or self._ag_eps or
+                                       self._mppi)), \
+            'folding is its own sampling mode'
         # Multi-chip: shard the sample axis over the mesh.  A single sharding
         # constraint on the sampled plans is enough — XLA propagates the
         # partitioning through the rollout and inserts an all-gather of the
@@ -241,6 +249,15 @@ class FusedCEMPlanner:
             if self._mppi is not None:
                 plan = self._sample_mppi(k_sample, mean, mppi_cov, anchor,
                                          anchor_valid, M)       # (M,T,adim)
+            elif self._folding is not None:
+                fo = self._folding
+                plan = folding_sample(
+                    k_sample, mean, sigma,
+                    context_states[-1, :2], M, spec,
+                    split_frac=fo.get('split_frac', 0.5),
+                    max_shift=tuple(fo.get('max_shift',
+                                           (0.2, 0.2, 1.0 / 3))),
+                    first_itr=(itr == 0))
             else:
                 if self._stoch_k > 1:
                     plan = sample_actions(k_sample, mean, sigma, spec,

@@ -243,3 +243,92 @@ def ag_epsilon_transform(key, plan, state_z, amount, z_dim, grip_dim,
         jax.random.uniform(key, grip.shape) < epsilon, -1.0, 1.0)
     grip = (grip * flips).astype(plan.dtype)
     return plan.at[:amount, :, grip_dim].set(grip)
+
+
+def _psd_factor(sigma, eps=1e-10):
+    """Symmetric PSD factor F with F @ F.T = the eigenvalue-clipped
+    projection of sigma (host twin: ``folding_sampler._ensure_psd`` +
+    multivariate_normal's internal factorization)."""
+    sigma = 0.5 * (sigma + sigma.T)
+    w, v = jnp.linalg.eigh(sigma)
+    return v * jnp.sqrt(jnp.clip(w, eps, None))[None, :]
+
+
+def folding_sample(key, mean, sigma, state_xy, nsamples, spec: ActionSpec,
+                   split_frac=0.5, max_shift=(0.2, 0.2, 1.0 / 3),
+                   first_itr=False):
+    """FoldingCEMSampler's structured 5-phase prior as device math
+    (host twin: ``samplers/folding_sampler.py _sample``).
+
+    Three row groups: a pick->fold->place prior (waypoint-conditioned phase
+    means, tight z/theta noise on the grasp phases), a direct move->descend
+    prior whose tail HOLDS one draw, and plain Gaussian samples from the
+    refit distribution.  xy/z clipped to ``max_shift``; repeat-expanded.
+    """
+    n, adim = spec.nactions, spec.adim
+    assert adim == 4, 'folding prior requires 4 base action dims'
+    per_split = int((nsamples * split_frac) / 2)
+    if first_itr:
+        per_split = max(int(per_split / 2), 1)
+    p2 = 2 * per_split
+    n_def = nsamples - p2
+
+    f_base = _psd_factor(sigma[:4, :4])
+    lower_sigma = sigma[:4, :4]
+    lower_sigma = lower_sigma.at[:2, :2].divide(10.0)
+    lower_sigma = lower_sigma.at[3, 3].divide(2.0)
+    f_lower = _psd_factor(lower_sigma)
+    f_full = _psd_factor(sigma)
+
+    k_w, k_eps, k_def = jax.random.split(key, 3)
+    # phase waypoints in the unit square (host: np.random.uniform(size=2))
+    way = jax.random.uniform(k_w, (p2, 2, 2))
+    eps = jax.random.normal(k_eps, (p2, n, 4))
+
+    # per-(group, step) factor selection: True -> tight "lower" noise
+    steps = jnp.arange(n)
+    lower_steps_1 = (steps == 1) | (steps == 2) | (steps == 4)
+    lower_steps_2 = (steps == 0) | (steps >= 2)
+    is_split2 = (jnp.arange(p2) >= per_split)[:, None]
+    use_lower = jnp.where(is_split2, lower_steps_2[None, :],
+                          lower_steps_1[None, :])
+    noise = jnp.where(use_lower[..., None],
+                      eps @ f_lower.T, eps @ f_base.T)
+    # split 2 tail: steps >= 3 repeat ONE hold draw
+    hold = noise[:, 3, :][:, None, :]
+    noise = jnp.where((is_split2 & (steps >= 3)[None, :])[..., None],
+                      hold, noise)
+
+    first_pnt, second_pnt = way[:, 0], way[:, 1]
+    d1 = (first_pnt - state_xy[None]) / spec.repeat
+    d2s1 = (second_pnt - first_pnt) / spec.repeat          # split 1
+    d2s2 = (second_pnt - state_xy[None]) / spec.repeat     # split 2
+
+    means = jnp.zeros((p2, n, 4))
+    z_up = jnp.array([0.0, 0.0, 1.0, 0.0])
+    z_dn = jnp.array([0.0, 0.0, -1.0, 0.0])
+    # split 1: move(d1,up) descend grasp move(d2,up) release [0...]
+    m1 = jnp.zeros((p2, n, 4))
+    m1 = m1.at[:, 0, :2].set(d1).at[:, 0, 2].set(1.0)
+    m1 = m1.at[:, 1].set(z_dn).at[:, 2].set(z_up)
+    m1 = m1.at[:, 3, :2].set(d2s1).at[:, 3, 2].set(1.0)
+    m1 = m1.at[:, 4].set(z_dn)
+    # split 2: up, move(d2,up), descend, hold zeros
+    m2 = jnp.zeros((p2, n, 4))
+    m2 = m2.at[:, 0].set(z_up)
+    m2 = m2.at[:, 1, :2].set(d2s2).at[:, 1, 2].set(1.0)
+    m2 = m2.at[:, 2].set(z_dn)
+    means = jnp.where(is_split2[..., None], m2, m1)
+
+    structured = means + noise
+    if n_def > 0:
+        flat = mean[None] + \
+            jax.random.normal(k_def, (n_def, n * adim)) @ f_full.T
+        plans = jnp.concatenate(
+            [structured, flat.reshape(n_def, n, adim)], axis=0)
+    else:
+        plans = structured[:nsamples]
+    ms = jnp.asarray(max_shift)
+    plans = plans.at[:, :, :3].set(
+        jnp.clip(plans[:, :, :3], -ms[None, None], ms[None, None]))
+    return jnp.repeat(plans, spec.repeat, axis=1)

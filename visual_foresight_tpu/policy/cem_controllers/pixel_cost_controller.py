@@ -30,6 +30,7 @@ from .cem_base_controller import CEMBaseController
 from .samplers.autograsp_epsilon import AutograspEpsilon
 from .samplers.autograsp_sampler import AutograspSampler
 from .samplers.correlated_noise import CorrelatedNoiseSampler
+from .samplers.folding_sampler import FoldingCEMSampler
 from .samplers.gaussian_sampler import GaussianCEMSampler
 from .visualizer.construct_html import (fill_template, save_gifs, save_html,
                                         save_img)
@@ -150,6 +151,23 @@ class PixelCostController(CEMBaseController):
                     discrete_dims=tuple(self._hp.get('discrete_ind', None)
                                         or ()),
                     ag_epsilon=ag_eps_cfg)
+            elif self._hp.sampler is FoldingCEMSampler:
+                # structured folding prior: phase means/waypoints and the
+                # Gaussian remainder all sample on device; refit is the
+                # plain elite mean/cov (host twin semantics)
+                spec = make_action_spec(self._hp.values(), self._adim)
+                assert spec.adim == 4, \
+                    'folding prior requires 4 base action dims'
+                assert spec.nactions * spec.repeat == self._hp.T, \
+                    'T must equal nactions*repeat'
+                self._fused = FusedCEMPlanner(
+                    self.predictor.model, spec, self._hp.num_samples,
+                    iterations=self._hp.iterations, k_elite=self.elite_count,
+                    finalweight=self._hp.finalweight,
+                    action_bound=False,
+                    only_first_view=self._hp.only_take_first_view,
+                    folding={'split_frac': self._hp.split_frac,
+                             'max_shift': tuple(self._hp.max_shift)})
             elif self._hp.sampler is CorrelatedNoiseSampler:
                 # fused MPPI: AR(1) noise + soft elite-weighted mean update
                 # run as the same single-dispatch device program
@@ -252,18 +270,21 @@ class PixelCostController(CEMBaseController):
 
         t = self._t
         warm_ok = t is not None and t >= spec.repeat - 1
-        warm_cov = bool(hp.reuse_cov) and warm_ok and \
+        # .get: Folding hparams lack the Gaussian warm-start keys
+        warm_cov = bool(hp.get('reuse_cov', 0)) and warm_ok and \
             self._fused_state is not None
         if warm_cov:
             sigma = shift_sigma(jnp.asarray(self._fused_state[1]), spec,
                                 float(hp.reuse_cov))
         else:
-            sigma = initial_sigma(spec, reduce_std_dev=hp.reduce_std_dev,
-                                  reduce=t is not None and t >= 2)
+            sigma = initial_sigma(
+                spec, reduce_std_dev=hp.get('reduce_std_dev', 1.0),
+                reduce=t is not None and t >= 2)
 
         warm_mean = False
         plans = self._sampler.best_action_plans
-        if hp.reuse_mean and warm_ok and plans and plans[-1] is not None:
+        if hp.get('reuse_mean', False) and warm_ok and plans and \
+                plans[-1] is not None:
             plan = np.asarray(plans[-1][0])       # remaining control-cadence
             # autograsp mode: the trailing grip dim is derived, not sampled
             plan = plan[:, :spec.adim]
