@@ -91,7 +91,8 @@ def main():
     spec = make_action_spec(hp, 3)
     planner = FusedCEMPlanner(predictor.model, spec, M, iterations=ITERS,
                               k_elite=10, finalweight=10.0,
-                              rejection_rounds=0, action_bound=True)
+                              rejection_rounds=0, action_bound=True,
+                              n_vis=int(os.environ.get('VF_BENCH_NVIS', '10')))
 
     rng = np.random.RandomState(0)
     ctx_images = jnp.asarray(rng.rand(NCAM, N_CTX, H, W, 3), jnp.float32)

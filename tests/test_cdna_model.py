@@ -166,3 +166,29 @@ def test_scan_unroll_parity():
             params, carry, actions, method='rollout_from')
         for k in ref:
             assert float(jnp.abs(ref[k] - out[k]).max()) == 0.0, (unroll, k)
+
+def test_mask_softmax_placement_parity():
+    """``mask_softmax='fullres'`` moves the std-backbone mask softmax after
+    depth_to_space.  depth_to_space only relocates the (subpixel, candidate)
+    groups and exp is elementwise, so the softmax runs over exactly the same
+    candidate sets in the same order — outputs must be bit-identical (the
+    placement exists purely so XLA fuses the exp/sum/divide into the
+    transpose and the effective-kernel consumer instead of a standalone
+    low-res softmax bracketed by layout copies; see docs/PERFORMANCE.md)."""
+    kw = dict(n_context=2, num_masks=4, kernel_size=3, sna=True,
+              num_distribs=1, sdim=3, adim=3, std_factor=4,
+              enc_features=(16, 32, 32), separable_lstm=True, lstm_kernel=3,
+              renorm_distribs=False)
+    lowres = CDNAPredictor(mask_softmax='lowres', **kw)
+    fullres = CDNAPredictor(mask_softmax='fullres', **kw)
+    key = jax.random.PRNGKey(0)
+    B, T, H, W = 2, 6, 16, 16
+    images = jax.random.uniform(key, (B, 2, H, W, 3))
+    states = jax.random.normal(key, (B, 2, 3)) * 0.1
+    actions = jax.random.normal(key, (B, T, 3)) * 0.1
+    distribs = jnp.zeros((B, 2, H, W, 1)).at[:, :, 5, 5, 0].set(1.0)
+    params = lowres.init(key, images, actions, states, distribs)
+    ref = lowres.apply(params, images, actions, states, distribs)
+    out = fullres.apply(params, images, actions, states, distribs)
+    for k in ('gen_images', 'gen_distribs', 'gen_states'):
+        assert float(jnp.abs(ref[k] - out[k]).max()) == 0.0, k

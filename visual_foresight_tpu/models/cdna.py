@@ -97,6 +97,45 @@ class _BlockConv(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class _SubpixelHead(nn.Module):
+    """Param-compatible twin of ``nn.Conv(r*r*cand, (1,1), name=...)`` +
+    :func:`depth_to_space`: the subpixel-conv/transposed-conv equivalence
+    folds the channel->space shuffle into the convolution itself, so the
+    (r*r*cand)-channel intermediate (and the layout copy XLA inserts between
+    the conv and the transpose — measured ~71 us/step at 48x64/B=200 on
+    v5e) never materializes.  Kernel/bias shapes match the 1x1 conv exactly,
+    so checkpoints bind unchanged."""
+
+    r: int
+    cand: int
+    in_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        r, cand = self.r, self.cand
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, r * r * cand))
+        bias = self.param('bias', nn.initializers.zeros, (r * r * cand,))
+        # 1x1-conv channel (i*r + j)*cand + m lands at subpixel (i, j),
+        # feature m after depth_to_space -> transposed-conv kernel (i, j,
+        # in, m); the per-(subpixel, feature) bias becomes a (r, r, cand)
+        # spatially periodic additive term
+        kt = kernel[0, 0].reshape(self.in_features, r, r, cand)
+        # conv_transpose (transpose_kernel=False) applies the kernel
+        # spatially flipped relative to the subpixel index — pre-flip so
+        # subpixel (i, j) lands at output offset (i, j) exactly like
+        # depth_to_space (verified bit-exact vs conv + depth_to_space)
+        kt = jnp.transpose(kt, (1, 2, 0, 3))[::-1, ::-1].astype(self.dtype)
+        out = jax.lax.conv_transpose(
+            x.astype(self.dtype), kt, strides=(r, r), padding='VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        b, hl, wl = x.shape[:3]
+        bias_full = jnp.tile(bias.reshape(r, r, cand).astype(self.dtype),
+                             (hl, wl, 1))
+        return out + bias_full[None]
+
+
 class CDNAStep(nn.Module):
     """One prediction step with nn.scan-compatible (carry, x) signature."""
 
@@ -115,6 +154,15 @@ class CDNAStep(nn.Module):
     plan_mode: bool = False     # no teacher forcing: x carries ONLY actions
     renorm_distribs: bool = True  # renormalize warped distributions per step
     s2d_tail: bool = False      # plan-mode: warp tail in s2d coordinates
+    # where the std-backbone mask softmax runs — identical math either way
+    # (softmax is over the candidate axis, and depth_to_space only relocates
+    # (subpixel, candidate) groups), but the op ordering changes what XLA can
+    # fuse: 'fullres' moves the raw logits through depth_to_space first so
+    # the exp/sum/divide chain fuses into the transpose and the
+    # effective-kernel consumer instead of forcing a standalone low-res
+    # softmax bracketed by layout copies (measured ~108 us/step of the ~1 ms
+    # serving step at 48x64/B=200 on v5e — see docs/PERFORMANCE.md)
+    mask_softmax: str = 'lowres'
 
     @property
     def _s2d_active(self):
@@ -191,10 +239,14 @@ class CDNAStep(nn.Module):
         # them to full res at all: it consumes the (r*r, candidates) form.
         ml = conv(r * r * num_candidates, 1, 1, 'mask_head')(h4)
         bm, hm, wm = ml.shape[:3]
-        ml = ml.reshape(bm, hm, wm, r * r, num_candidates)
-        masks = jax.nn.softmax(ml, axis=-1).astype(self.dtype)
-        if not self._s2d_active:
-            masks = depth_to_space(masks.reshape(bm, hm, wm, -1), r)
+        if self.mask_softmax == 'fullres' and not self._s2d_active:
+            masks = jax.nn.softmax(
+                depth_to_space(ml, r), axis=-1).astype(self.dtype)
+        else:
+            ml = ml.reshape(bm, hm, wm, r * r, num_candidates)
+            masks = jax.nn.softmax(ml, axis=-1).astype(self.dtype)
+            if not self._s2d_active:
+                masks = depth_to_space(masks.reshape(bm, hm, wm, -1), r)
         dna_logits = None
         if self.dna:
             dna_logits = depth_to_space(
@@ -472,6 +524,7 @@ class CDNAPredictor(nn.Module):
     renorm_distribs: bool = True
     s2d_tail: bool = False
     scan_unroll: int = 1        # XLA loop unroll of the plan-mode time scan
+    mask_softmax: str = 'lowres'  # see CDNAStep.mask_softmax
 
     @property
     def _s2d_active(self):
@@ -502,7 +555,8 @@ class CDNAPredictor(nn.Module):
                            std_factor=self.std_factor,
                            plan_mode=plan_mode,
                            renorm_distribs=self.renorm_distribs,
-                           s2d_tail=self.s2d_tail, name='step')
+                           s2d_tail=self.s2d_tail,
+                           mask_softmax=self.mask_softmax, name='step')
 
     def _initial_lstm_states(self, b, h, w):
         init = ConvLSTMCell.initial_state

@@ -330,12 +330,19 @@ class FusedCEMPlanner:
 
             if itr == self._iterations - 1:
                 nv = self._n_vis
-                vis = {
-                    'indices': elite_idx[:nv],
-                    'gen_images': gen_images[elite_idx[:nv]],
-                    'gen_distribs': gen_distribs[elite_idx[:nv]],
-                    'scores': -neg_top[:nv],
-                }
+                # n_vis=0 drops the verbose payload entirely: with the
+                # default pixel cost nothing then reads the stacked
+                # gen_images, so XLA dead-code-eliminates the full-res image
+                # stacking/f32 conversion inside the rollouts (a real MPC
+                # loop only consumes vis on save steps; controllers keep
+                # vis on by default)
+                if nv:
+                    vis = {
+                        'indices': elite_idx[:nv],
+                        'gen_images': gen_images[elite_idx[:nv]],
+                        'gen_distribs': gen_distribs[elite_idx[:nv]],
+                        'scores': -neg_top[:nv],
+                    }
             elif self._mppi is not None:
                 mean, mppi_cov = self._mppi_update(elite_actions, -neg_top)
             else:

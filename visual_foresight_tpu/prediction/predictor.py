@@ -73,6 +73,10 @@ DEFAULT_HPARAMS = {
     # XLA unroll of the plan-mode time scan (serving only): >1 trades
     # compile time for fewer loop trips and cross-step fusion
     'scan_unroll': 1,
+    # std-backbone mask softmax placement: 'fullres' is the serving default
+    # (identical math, kills ~108 us/step of layout copies on v5e); training
+    # and the classic backbone ignore it
+    'mask_softmax': 'fullres',
 }
 
 
@@ -105,6 +109,7 @@ class TPUPredictor:
             renorm_distribs=hp['renorm_distribs'],
             s2d_tail=hp['s2d_tail'],
             scan_unroll=hp['scan_unroll'],
+            mask_softmax=hp['mask_softmax'],
             **(model_kwargs or {}))
 
         self.params = None          # list: one pytree per camera
@@ -183,7 +188,8 @@ class TPUPredictor:
             enc_features=tuple(self._hp['enc_features']),
             renorm_distribs=self._hp['renorm_distribs'],
             s2d_tail=self._hp['s2d_tail'],
-            scan_unroll=self._hp['scan_unroll'])
+            scan_unroll=self._hp['scan_unroll'],
+            mask_softmax=self._hp['mask_softmax'])
 
     @staticmethod
     def _latest_tf1_prefix(view_dir):
