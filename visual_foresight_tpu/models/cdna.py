@@ -100,11 +100,17 @@ class _BlockConv(nn.Module):
 class _SubpixelHead(nn.Module):
     """Param-compatible twin of ``nn.Conv(r*r*cand, (1,1), name=...)`` +
     :func:`depth_to_space`: the subpixel-conv/transposed-conv equivalence
-    folds the channel->space shuffle into the convolution itself, so the
-    (r*r*cand)-channel intermediate (and the layout copy XLA inserts between
-    the conv and the transpose — measured ~71 us/step at 48x64/B=200 on
-    v5e) never materializes.  Kernel/bias shapes match the 1x1 conv exactly,
-    so checkpoints bind unchanged."""
+    folds the channel->space shuffle into the convolution itself.
+    Kernel/bias shapes match the 1x1 conv exactly, so checkpoints bind
+    unchanged.
+
+    NEGATIVE RESULT (v5e, 2026-08-18, kept unwired): swapping this in for
+    the flagship's fullres mask head moved the replan from 45.6 ms to
+    62.3 ms — XLA lowers the stride-4 ``conv_transpose`` as an input-dilated
+    convolution whose cost dwarfs the d2s layout copies it saves (an
+    isolated chained microbenchmark says 22 % FASTER, but in-program the
+    conv+d2s copies overlap/fuse with neighbors and the dilated conv does
+    not).  See docs/PERFORMANCE.md 'measured dead ends'."""
 
     r: int
     cand: int
@@ -673,6 +679,11 @@ class CDNAPredictor(nn.Module):
         result = {
             'gen_images': jnp.swapaxes(imgs_tm, 0, 1).astype(jnp.float32),
             'gen_states': jnp.swapaxes(states_tm, 0, 1).astype(jnp.float32),
+            # time-major compute-dtype view: consumers that only need a few
+            # rollouts (the planner's n_vis elite videos) gather here BEFORE
+            # the batch-major transpose + f32 convert, so XLA dead-code-
+            # eliminates the full-batch f32 video entirely
+            'gen_images_tm': imgs_tm,
         }
         if self.num_distribs:
             result['gen_distribs'] = jnp.swapaxes(

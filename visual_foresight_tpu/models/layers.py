@@ -77,7 +77,15 @@ class ConvLSTMCell(nn.Module):
 class LayerNorm(nn.Module):
     """LayerNorm over the channel axis.  Statistics accumulate in float32
     internally (flax upcasts for the reduction) while inputs/outputs stay in
-    the compute dtype — avoids materializing full-resolution f32 copies."""
+    the compute dtype — avoids materializing full-resolution f32 copies.
+
+    Measured alternative (v5e, 2026-08-18, NOT adopted): computing the
+    statistics as two ones-vector matmuls with f32 accumulation wins 32 % in
+    an isolated chained microbenchmark, but LOSES ~2 ms/replan inside the
+    full serving program — XLA fuses the stock reduction's normalize into
+    the producing fusion (the profile's convert_reduce emits the normalized
+    bf16 tensor alongside the f32 stats), and the dot-based form breaks that
+    fusion into three dispatches.  See docs/PERFORMANCE.md."""
 
     dtype: jnp.dtype = jnp.float32
 

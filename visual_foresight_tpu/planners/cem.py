@@ -150,13 +150,15 @@ class FusedCEMPlanner:
         :param plan: (M, T_plan, adim) candidate plans
         :return: (M,T',ncam,H,W,C), (M,T',ncam,H,W,P)
         """
-        gen_images, gen_distribs = [], []
+        gen_images, gen_distribs, gen_images_tm = [], [], []
         for cam_params, carry in zip(params, carries):
             out = self._model.apply(cam_params, carry, plan, rng=rng,
                                     method='rollout_from')
             gen_images.append(out['gen_images'])
             gen_distribs.append(out['gen_distribs'])
-        return (jnp.stack(gen_images, axis=2), jnp.stack(gen_distribs, axis=2))
+            gen_images_tm.append(out['gen_images_tm'])
+        return (jnp.stack(gen_images, axis=2), jnp.stack(gen_distribs, axis=2),
+                jnp.stack(gen_images_tm, axis=2))
 
     def _sample_mppi(self, key, mean, cov, anchor, anchor_valid, M):
         """AR(1)-correlated noise around a mean plan (CorrelatedNoiseSampler
@@ -313,8 +315,8 @@ class FusedCEMPlanner:
                 plan = jax.lax.with_sharding_constraint(
                     plan, self._plan_sharding)
 
-            gen_images, gen_distribs = self._rollout(params, carries, plan,
-                                                     k_model)
+            gen_images, gen_distribs, gen_images_tm = self._rollout(
+                params, carries, plan, k_model)
 
             if self._cost_fn is not None:
                 scores = self._cost_fn(gen_images, gen_distribs, cost_ctx)
@@ -337,9 +339,16 @@ class FusedCEMPlanner:
                 # loop only consumes vis on save steps; controllers keep
                 # vis on by default)
                 if nv:
+                    # gather the nv elite videos from the time-major
+                    # compute-dtype stack and convert AFTER the gather: the
+                    # full-batch f32 video (and its 10-dynamic-slice gather,
+                    # ~2 ms/replan measured on v5e) is then dead code unless
+                    # a custom cost fn reads it
+                    vis_imgs = jnp.take(gen_images_tm, elite_idx[:nv], axis=1)
                     vis = {
                         'indices': elite_idx[:nv],
-                        'gen_images': gen_images[elite_idx[:nv]],
+                        'gen_images': jnp.swapaxes(vis_imgs, 0, 1).astype(
+                            jnp.float32),
                         'gen_distribs': gen_distribs[elite_idx[:nv]],
                         'scores': -neg_top[:nv],
                     }
