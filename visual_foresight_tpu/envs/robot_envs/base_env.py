@@ -8,6 +8,7 @@ interactive click-based eval used for real-robot benchmarks.
 """
 
 import copy
+import itertools
 import json
 import logging
 import os
@@ -25,78 +26,107 @@ from .util.camera_recorder import CameraRecorder
 from .util.topic_utils import IMTopic
 from .util.user_interface import select_points
 
+_log = logging.getLogger('robot_logger')
+
+# qpos layout shared by every robot env: cartesian xyz, wrist yaw, gripper
+_QPOS_DIM = 5
+
 
 def pix_resize(pix, target_width, original_width):
-    return np.round(copy.deepcopy(pix).astype(np.float32) *
-                    target_width / float(original_width)).astype(np.int64)
+    """Rescale pixel coordinates to a different image width (rounded)."""
+    scaled = np.asarray(pix, dtype=np.float32) * \
+        (target_width / float(original_width))
+    return np.round(scaled).astype(np.int64)
+
+
+def _camera_names(n):
+    if n <= 2:
+        return ['front', 'left'][:n]
+    return ['cam{}'.format(i) for i in range(n)]
 
 
 class BaseRobotEnv(BaseEnv):
+    """Controller + camera glue behind the sim-identical env ABI.
+
+    Subclass contract (used by Vanilla/Autograsp envs): override
+    ``_next_qpos`` (action -> absolute target qpos) and optionally
+    ``_init_dynamics`` (per-rollout state); read ``_previous_target_qpos``,
+    ``_low_bound`` / ``_high_bound``, ``_base_adim`` / ``_base_sdim`` and
+    ``_last_obs``; set ``_adim`` / ``_sdim``.
+    """
+
     def __init__(self, env_params, _=None):
         self._hp = self._default_hparams()
         self._hp.start_state = []
-        for name, value in env_params.items():
-            # robot_type may be a controller CLASS (tests / unregistered robots)
-            if name in ('camera_topics', 'start_state', 'robot_type'):
-                setattr(self._hp, name, value)
-            else:
-                self._hp.set_hparam(name, value)
+        self._apply_overrides(env_params)
         self.savedir = None
-        assert self._hp.action_space == 'xyz_yaw_gripper', \
-            'only xyz_yaw_gripper action spaces supported'
+        if self._hp.action_space != 'xyz_yaw_gripper':
+            raise AssertionError(
+                'only xyz_yaw_gripper action spaces supported')
+
         logging.info('initializing environment for %s', self._hp.robot_name)
         self._robot_name = self._hp.robot_name
         self._setup_robot()
-
         self._obs_tol = 0.5 if self._hp.opencv_tracking else self._hp.OFFSET_TOL
+        self._connect_controller()
+        self._connect_cameras()
 
-        RobotController = get_controller_class(self._hp.robot_type)
-        self._controller = RobotController(
+        self._base_adim = self._base_sdim = _QPOS_DIM
+        self._adim = self._sdim = None
+        self.mode_rel = np.array(self._hp.mode_rel)
+        self._cleanup_rate = self._hp.cleanup_rate
+        self._duration = self._hp.duration
+        self._reset_counter = 0
+        self._previous_target_qpos = None
+        self._start_pix = self._desig_pix = self._goal_pix = None
+        self._last_obs = None
+
+        self._goto_closest_neutral(duration=3)
+
+    # -- construction helpers ------------------------------------------------
+
+    def _apply_overrides(self, env_params):
+        # robot_type may be a controller CLASS (tests / unregistered robots),
+        # and camera_topics / start_state carry non-primitive values hparams
+        # would reject — those three bypass set_hparam.
+        raw = ('camera_topics', 'start_state', 'robot_type')
+        for name, value in env_params.items():
+            if name in raw:
+                setattr(self._hp, name, value)
+            else:
+                self._hp.set_hparam(name, value)
+
+    def _connect_controller(self):
+        controller_cls = get_controller_class(self._hp.robot_type)
+        self._controller = controller_cls(
             self._robot_name, self._hp.print_debug,
             email_cred_file=self._hp.email_login_creds,
             log_file=self._hp.log_file,
             gripper_attached=self._hp.gripper_attached)
-        log = logging.getLogger('robot_logger')
-        log.info('-' * 75)
+        _log.info('-' * 75)
         for name, value in self._hp.values().items():
-            log.info('%s = %s', name, value)
-        log.info('-' * 75)
+            _log.info('%s = %s', name, value)
+        _log.info('-' * 75)
 
+    def _connect_cameras(self):
         self._save_video = self._hp.save_video
-        self._cameras = [CameraRecorder(t, self._hp.opencv_tracking,
-                                        self._save_video)
-                         for t in self._hp.camera_topics]
+        self._cameras = [
+            CameraRecorder(t, self._hp.opencv_tracking, self._save_video)
+            for t in self._hp.camera_topics]
+        self._exercise_gripper()
 
+        dims = {(c.img_height, c.img_width) for c in self._cameras}
+        if len(dims) != 1:
+            raise AssertionError('camera image streams do not match')
+        self._height, self._width = dims.pop()
+        self._cam_names = _camera_names(len(self._cameras))
+
+    def _exercise_gripper(self):
+        """Open/close/open cycle: verifies the gripper responds and leaves it
+        in the known-open state before the first reset."""
         self._controller.open_gripper(True)
         self._controller.close_gripper(True)
         self._controller.open_gripper(True)
-
-        if len(self._cameras) > 1:
-            dims = (self._cameras[0].img_height, self._cameras[0].img_width)
-            assert all((c.img_height, c.img_width) == dims
-                       for c in self._cameras[1:]), \
-                'camera image streams do not match'
-
-        if len(self._cameras) == 1:
-            self._cam_names = ['front']
-        elif len(self._cameras) == 2:
-            self._cam_names = ['front', 'left']
-        else:
-            self._cam_names = ['cam{}'.format(i)
-                               for i in range(len(self._cameras))]
-        self._height = self._cameras[0].img_height
-        self._width = self._cameras[0].img_width
-
-        self._base_adim, self._base_sdim = 5, 5
-        self._adim, self._sdim = None, None
-        self.mode_rel = np.array(self._hp.mode_rel)
-        self._cleanup_rate = self._hp.cleanup_rate
-        self._duration = self._hp.duration
-        self._reset_counter, self._previous_target_qpos = 0, None
-        self._start_pix, self._desig_pix, self._goal_pix = None, None, None
-        self._last_obs = None
-
-        self._goto_closest_neutral(duration=3)
 
     def _default_hparams(self):
         default_dict = {
@@ -130,57 +160,88 @@ class BaseRobotEnv(BaseEnv):
         return parent_params
 
     def _setup_robot(self):
+        """Load per-robot workspace bounds (+ configured deltas) from the
+        JSON registry next to this module."""
         config_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    'robot_configs.json')
         try:
             with open(config_file) as f:
-                robot_configs = json.load(f)
-            self._low_bound = np.array(robot_configs[self._robot_name][0])
-            self._high_bound = np.array(robot_configs[self._robot_name][1])
+                bounds = json.load(f)[self._robot_name]
         except (ValueError, FileNotFoundError):
-            raise ValueError('fill out the robot config at {}'.format(
-                config_file))
+            raise ValueError(
+                'fill out the robot config at {}'.format(config_file))
         except KeyError:
             raise ValueError('robot {} missing from config {}'.format(
                 self._robot_name, config_file))
-        self._high_bound += np.array(self._hp.upper_bound_delta,
-                                     dtype=np.float64)
-        self._low_bound += np.array(self._hp.lower_bound_delta,
-                                    dtype=np.float64)
+        lo, hi = (np.array(b, dtype=np.float64) for b in bounds)
+        self._low_bound = lo + np.asarray(self._hp.lower_bound_delta,
+                                          dtype=np.float64)
+        self._high_bound = hi + np.asarray(self._hp.upper_bound_delta,
+                                           dtype=np.float64)
 
-    # -- stepping ---------------------------------------------------------------
+    # -- workspace geometry ---------------------------------------------------
+
+    @property
+    def _xyz_span(self):
+        return self._high_bound[:3] - self._low_bound[:3]
+
+    def _normalized_to_workspace(self, unit_xyz):
+        """Map [0,1]^3 coordinates into workspace xyz."""
+        return np.asarray(unit_xyz) * self._xyz_span + self._low_bound[:3]
+
+    def _random_pose(self):
+        """Uniform (xyz, yaw) draw over the workspace."""
+        draw = np.random.uniform(self._low_bound[:4], self._high_bound[:4])
+        return draw[:3], draw[3]
+
+    @property
+    def _gripper_midpoint(self):
+        return 0.5 * (self._low_bound[-1] + self._high_bound[-1])
+
+    # -- stepping -------------------------------------------------------------
+
     def step(self, action):
         if self._hp.normalize_actions:
-            action[:3] *= self._high_bound[:3] - self._low_bound[:3]
+            action[:3] *= self._xyz_span
 
         target_qpos = np.clip(self._next_qpos(action), self._low_bound,
                               self._high_bound)
-        log = logging.getLogger('robot_logger')
-        log.debug('target position: %s', target_qpos)
-
+        _log.debug('target position: %s', target_qpos)
         if np.linalg.norm(target_qpos - self._previous_target_qpos) < 1e-3:
-            return self._get_obs()
+            return self._get_obs()  # no-op command: skip the move entirely
 
-        gripper_midpoint = (self._low_bound[-1] + self._high_bound[-1]) / 2.0
-        wait_change = (target_qpos[-1] > gripper_midpoint) != \
-            (self._previous_target_qpos[-1] > gripper_midpoint)
-
-        if self._save_video:
-            for c in self._cameras:
-                c.start_recording()
-
-        if target_qpos[-1] > gripper_midpoint:
-            self._controller.close_gripper(wait_change)
-        else:
-            self._controller.open_gripper(wait_change)
-        self._move_to_state(target_qpos[:3], target_qpos[3])
-
-        if self._save_video:
-            for c in self._cameras:
-                c.stop_recording()
-
+        with self._recording():
+            self._command_gripper(target_qpos[-1])
+            self._move_to_state(target_qpos[:3], target_qpos[3])
         self._previous_target_qpos = target_qpos
         return self._get_obs()
+
+    def _command_gripper(self, gripper_qpos):
+        """Send the discrete open/close command; block only when the command
+        crosses the midpoint (i.e. the state actually changes)."""
+        closing = gripper_qpos > self._gripper_midpoint
+        was_closing = self._previous_target_qpos[-1] > self._gripper_midpoint
+        wait = closing != was_closing
+        if closing:
+            self._controller.close_gripper(wait)
+        else:
+            self._controller.open_gripper(wait)
+
+    def _recording(self):
+        """Context manager: camera video capture around a motion (no-op when
+        save_video is off)."""
+        cameras = self._cameras if self._save_video else []
+
+        class _Rec:
+            def __enter__(_self):
+                for c in cameras:
+                    c.start_recording()
+
+            def __exit__(_self, *exc):
+                for c in cameras:
+                    c.stop_recording()
+                return False
+        return _Rec()
 
     def _init_dynamics(self):
         pass
@@ -188,86 +249,81 @@ class BaseRobotEnv(BaseEnv):
     def _next_qpos(self, action):
         raise NotImplementedError
 
-    # -- observations --------------------------------------------------------------
-    def _get_state(self):
-        eep = self._controller.get_cartesian_pose()
-        gripper_state = self._controller.get_gripper_state()[0]
-        g_low, g_high = self._controller.get_gripper_limits()
-        if g_high - g_low > 0:
-            gripper_state = (gripper_state - g_low) / (g_high - g_low)
+    # -- observations ---------------------------------------------------------
 
-        state = np.zeros(self._base_sdim)
-        state[:3] = (eep[:3] - self._low_bound[:3]) / \
-            (self._high_bound[:3] - self._low_bound[:3])
-        state[3] = self._controller.quat_2_euler(eep[3:])[0]
-        state[4] = (1 - gripper_state) * self._low_bound[-1] + \
-            gripper_state * self._high_bound[-1]
-        return state
+    def _get_state(self):
+        """Normalized 5-dim proprioceptive state: xyz in workspace fraction,
+        wrist yaw, gripper reading mapped onto [low, high] bound units."""
+        eep = self._controller.get_cartesian_pose()
+        grip = self._controller.get_gripper_state()[0]
+        g_low, g_high = self._controller.get_gripper_limits()
+        if g_high > g_low:
+            grip = (grip - g_low) / (g_high - g_low)
+        xyz_frac = (eep[:3] - self._low_bound[:3]) / self._xyz_span
+        yaw = self._controller.quat_2_euler(eep[3:])[0]
+        grip_qpos = self._low_bound[-1] + grip * \
+            (self._high_bound[-1] - self._low_bound[-1])
+        return np.concatenate([xyz_frac, [yaw, grip_qpos]])
 
     def _get_obs(self):
-        obs = {}
-        j_angles, j_vel, eep = self._controller.get_state()
+        j_angles, j_vel, _ = self._controller.get_state()
         gripper_state, force_sensor = self._controller.get_gripper_state()
 
-        obs['qpos'] = j_angles
+        obs = {'qpos': j_angles, 'state': self._get_state()}
         if j_vel is not None:   # widowx has no joint velocity readings
             obs['qvel'] = j_vel
-        obs['state'] = self._get_state()
         if force_sensor is not None:
             obs['finger_sensors'] = force_sensor
 
         self._last_obs = copy.deepcopy(obs)
         obs['images'] = self.render()
-        obs['high_bound'] = copy.deepcopy(self._high_bound)
-        obs['low_bound'] = copy.deepcopy(self._low_bound)
+        obs['high_bound'] = self._high_bound.copy()
+        obs['low_bound'] = self._low_bound.copy()
 
         if self._hp.opencv_tracking:
-            track_desig = np.zeros((self.ncam, 1, 2), dtype=np.int64)
-            for i, c in enumerate(self._cameras):
-                track_desig[i] = c.get_track()
-            self._desig_pix = track_desig
+            self._desig_pix = np.stack(
+                [c.get_track() for c in self._cameras]).astype(np.int64)
         if self._desig_pix is not None:
             obs['obj_image_locations'] = copy.deepcopy(self._desig_pix)
         return obs
 
     def _move_to_state(self, target_xyz, target_zangle, duration=1.5):
-        target_quat = self._controller.euler_2_quat(target_zangle)
-        self._controller.move_to_eep(
-            np.concatenate((target_xyz, target_quat)), duration)
+        quat = self._controller.euler_2_quat(target_zangle)
+        self._controller.move_to_eep(np.concatenate((target_xyz, quat)),
+                                     duration)
 
     def _reset_previous_qpos(self):
         xyz, quat = self._controller.get_xyz_quat()
-        self._previous_target_qpos = np.zeros(self._base_sdim)
-        self._previous_target_qpos[:3] = xyz
-        self._previous_target_qpos[3] = self._controller.quat_2_euler(quat)[0]
-        self._previous_target_qpos[4] = -1
+        yaw = self._controller.quat_2_euler(quat)[0]
+        self._previous_target_qpos = np.concatenate([xyz, [yaw, -1.0]])
 
     def save_recording(self, save_worker, i_traj):
         if not self._save_video:
             return
         buffers = [c.reset_recording() for c in self._cameras]
-        if max(len(b) for b in buffers) == 0:
+        if not any(len(b) for b in buffers):
             return
-        for name, b in zip(self._cam_names, buffers):
+        for name, frames in zip(self._cam_names, buffers):
             save_worker.put(('mov', 'recording{}/{}_clip.mp4'.format(
-                i_traj, name), b, 30))
+                i_traj, name), frames, 30))
 
-    # -- resets -------------------------------------------------------------------
+    # -- resets ---------------------------------------------------------------
+
     def _end_reset(self):
         start_image = self.render()
         if self.savedir is not None:
             cv2.imwrite('{}/initial_image.jpg'.format(self.savedir),
                         start_image[0][:, :, ::-1])
-        logging.getLogger('robot_logger').info(
-            'finishing reset %d', self._reset_counter)
+        _log.info('finishing reset %d', self._reset_counter)
         if self._hp.wait_during_resetend:
             input('PRESS ENTER TO CONTINUE')
         if self._hp.opencv_tracking:
-            assert self._desig_pix is not None, \
-                'designated pixels must be set (call get_obj_desig_goal)'
+            if self._desig_pix is None:
+                raise AssertionError(
+                    'designated pixels must be set (call get_obj_desig_goal)')
             track = copy.deepcopy(self._desig_pix)
-            for i, c in enumerate(self._cameras):
-                c.start_tracking(track[i])
+            for cam, pts in zip(self._cameras, track):
+                cam.start_tracking(pts)
         self._reset_previous_qpos()
         self._init_dynamics()
         self._reset_counter += 1
@@ -275,12 +331,27 @@ class BaseRobotEnv(BaseEnv):
 
     def _goto_closest_neutral(self, duration=2.):
         self._controller.move_to_neutral(duration)
-        closest_neutral = self._get_state()
-        closest_neutral[:3] = np.clip(closest_neutral[:3], [0., 0., 0.],
-                                      self._hp.start_box)
-        closest_neutral[:3] *= self._high_bound[:3] - self._low_bound[:3]
-        closest_neutral[:3] += self._low_bound[:3]
-        self._move_to_state(closest_neutral[:3], closest_neutral[3])
+        neutral = self._get_state()
+        boxed = np.clip(neutral[:3], 0.0, self._hp.start_box)
+        self._move_to_state(self._normalized_to_workspace(boxed), neutral[3])
+
+    def _drop_reset(self):
+        """Carry whatever is grasped to a random pose at max height, drop it
+        (close+open), then retreat to neutral — scatters objects between
+        rollouts without human help."""
+        xyz, yaw = self._random_pose()
+        xyz[2] = self._high_bound[2]
+        self._move_to_state(xyz, yaw, 2.)
+        self._controller.close_gripper(True)
+        self._controller.open_gripper(True)
+        self._controller.move_to_neutral()
+
+    def _cleanup_due(self):
+        rate = self._cleanup_rate
+        if rate == 0:
+            return True
+        return rate > 0 and self._reset_counter > 0 and \
+            self._reset_counter % rate == 0
 
     def reset(self):
         if self._save_video:
@@ -293,23 +364,12 @@ class BaseRobotEnv(BaseEnv):
             return self._end_reset()
 
         if self._hp.rand_drop_reset:
-            rand_xyz = np.random.uniform(self._low_bound[:3],
-                                         self._high_bound[:3])
-            rand_xyz[2] = self._high_bound[2]
-            rand_zangle = np.random.uniform(self._low_bound[3],
-                                            self._high_bound[3])
-            self._move_to_state(rand_xyz, rand_zangle, 2.)
-            self._controller.close_gripper(True)
-            self._controller.open_gripper(True)
-            self._controller.move_to_neutral()
+            self._drop_reset()
         else:
             self._controller.open_gripper(True)
             self._controller.move_to_neutral()
 
-        if self._cleanup_rate == 0 or (
-                self._cleanup_rate > 0 and
-                self._reset_counter % self._cleanup_rate == 0 and
-                self._reset_counter > 0):
+        if self._cleanup_due():
             self._controller.redistribute_objects()
             self._goto_closest_neutral(5.)
 
@@ -319,16 +379,11 @@ class BaseRobotEnv(BaseEnv):
         self._reset_previous_qpos()
 
         if self._hp.start_state:
-            xyz = np.array(self._hp.start_state[:3]) * \
-                (self._high_bound[:3] - self._low_bound[:3]) + \
-                self._low_bound[:3]
+            xyz = self._normalized_to_workspace(self._hp.start_state[:3])
             self._move_to_state(xyz, self._hp.start_state[3], 2.)
         else:
-            rand_xyz = np.random.uniform(self._low_bound[:3],
-                                         self._high_bound[:3])
-            rand_zangle = np.random.uniform(self._low_bound[3],
-                                            self._high_bound[3])
-            self._move_to_state(rand_xyz, rand_zangle, 2.)
+            xyz, yaw = self._random_pose()
+            self._move_to_state(xyz, yaw, 2.)
 
         return self._end_reset()
 
@@ -341,34 +396,29 @@ class BaseRobotEnv(BaseEnv):
     def has_goal(self):
         return False
 
-    # -- rendering ---------------------------------------------------------------------
+    # -- rendering ------------------------------------------------------------
+
     def render(self):
         """Grab frames from all cameras, enforcing freshness and cross-camera
         sync (raises Image_Exception on desync)."""
-        time_stamps, cam_imgs = [], []
-        cur_time = time.time()
-        log = logging.getLogger('robot_logger')
+        now = time.time()
+        stamps, frames = [], []
         for recorder in self._cameras:
             stamp, image = recorder.get_image()
-            if abs(stamp - cur_time) > 10 * self._obs_tol:
-                log.error('DESYNC: no camera ping in %.1f s',
-                          10 * self._obs_tol)
+            if abs(stamp - now) > 10 * self._obs_tol:
+                _log.error('DESYNC: no camera ping in %.1f s',
+                           10 * self._obs_tol)
                 raise Image_Exception
-            time_stamps.append(stamp)
-            cam_imgs.append(image)
+            stamps.append(stamp)
+            frames.append(image)
 
-        if self.ncam > 1:
-            for index, i in enumerate(time_stamps[:-1]):
-                for j in time_stamps[index + 1:]:
-                    if abs(i - j) > self._obs_tol:
-                        log.error('DESYNC: cameras out of sync')
-                        raise Image_Exception
+        for t_i, t_j in itertools.combinations(stamps, 2):
+            if abs(t_i - t_j) > self._obs_tol:
+                _log.error('DESYNC: cameras out of sync')
+                raise Image_Exception
 
-        images = np.zeros((self.ncam, self._height, self._width, 3),
-                          dtype=np.uint8)
-        for c, img in enumerate(cam_imgs):
-            images[c] = img[:, :, ::-1]
-        return images
+        # cameras deliver BGR; the framework convention is RGB
+        return np.stack([f[:, :, ::-1] for f in frames]).astype(np.uint8)
 
     @property
     def adim(self):
@@ -390,7 +440,19 @@ class BaseRobotEnv(BaseEnv):
         random.seed(seed)
         np.random.seed(seed)
 
-    # -- interactive benchmarking --------------------------------------------------
+    # -- interactive benchmarking ----------------------------------------------
+
+    def _safe_neutral(self, confirm=True):
+        if confirm:
+            input('Robot in safe position? Hit enter when ready...')
+        self._goto_closest_neutral()
+        self._controller.open_gripper(True)
+
+    def _annotate(self, label, save_dir, ntasks, clicks_per_desig=1):
+        return select_points(self.render(), self._cam_names, label, save_dir,
+                             clicks_per_desig=clicks_per_desig,
+                             n_desig=ntasks)
+
     def eval(self, target_width=None, save_dir=None, ntasks=None):
         if target_width is None:
             return None
@@ -398,46 +460,35 @@ class BaseRobotEnv(BaseEnv):
             self._controller.open_gripper(True)
             self._controller.move_to_neutral()
 
-        final_pix = select_points(self.render(), self._cam_names, 'final',
-                                  save_dir, clicks_per_desig=1,
-                                  n_desig=ntasks)
+        final_pix = pix_resize(
+            self._annotate('final', save_dir, ntasks), target_width,
+            self._width)
         goal_pix = self.get_goal_pix(target_width)
-        final_pix = pix_resize(final_pix, target_width, self._width)
         start_pix = pix_resize(self._start_pix, target_width, self._width)
 
         final_dist = np.linalg.norm(final_pix - goal_pix)
         start_dist = np.linalg.norm(start_pix - goal_pix)
-        improvement = start_dist - final_dist
-        log = logging.getLogger('robot_logger')
-        log.info('final_dist: %f start_dist: %f improvement: %f',
-                 final_dist, start_dist, improvement)
+        _log.info('final_dist: %f start_dist: %f improvement: %f',
+                  final_dist, start_dist, start_dist - final_dist)
 
         if self._hp.opencv_tracking:
             for c in self._cameras:
                 c.end_tracking()
         return {'final_dist': final_dist, 'start_dist': start_dist,
-                'improvement': improvement}
+                'improvement': start_dist - final_dist}
 
     def get_obj_desig_goal(self, save_dir, collect_goal_image=False, ntasks=1):
-        input('Robot in safe position? Hit enter when ready...')
-        self._goto_closest_neutral()
-        self._controller.open_gripper(True)
+        self._safe_neutral()
 
         if collect_goal_image:
             print('PLACE OBJECTS IN GOAL POSITION')
             input('When ready to annotate GOAL images press enter...')
             goal_imgs = self.render()
-            goal_pix = select_points(goal_imgs, self._cam_names, 'goal',
-                                     save_dir, clicks_per_desig=1,
-                                     n_desig=ntasks)
-            input('Robot in safe position? Hit enter when ready...')
-            self._goto_closest_neutral()
-            self._controller.open_gripper(True)
+            goal_pix = self._annotate('goal', save_dir, ntasks)
+            self._safe_neutral()
             print('PLACE OBJECTS IN START POSITION')
             input('When ready to annotate START images press enter...')
-            self._start_pix = select_points(self.render(), self._cam_names,
-                                            'desig', save_dir,
-                                            clicks_per_desig=1, n_desig=ntasks)
+            self._start_pix = self._annotate('desig', save_dir, ntasks)
             self._goal_pix = copy.deepcopy(goal_pix)
             self._desig_pix = copy.deepcopy(self._start_pix)
             return goal_imgs, goal_pix
@@ -452,12 +503,10 @@ class BaseRobotEnv(BaseEnv):
 
     def get_goal_image(self, savedir):
         self.savedir = savedir
-        self._goto_closest_neutral()
-        self._controller.open_gripper(True)
+        self._safe_neutral(confirm=False)
         input('hit enter when ready to take goal image')
         goal_img = self.render()
-        self._goto_closest_neutral()
-        self._controller.open_gripper(True)
+        self._safe_neutral(confirm=False)
         input('hit enter when objects put back')
         cv2.imwrite('{}/goal_image.jpg'.format(savedir),
                     goal_img[0][:, :, ::-1])
