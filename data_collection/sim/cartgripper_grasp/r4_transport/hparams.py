@@ -1,0 +1,66 @@
+"""Round-4 grasp-transport campaign collection: autograsp cartgripper,
+3 cubes — the SAME env parameters as the ``ag_bench20`` /
+``ag_bench20_hard`` benchmark sets (``experiments/sim/autograsp_stochastic``)
+so the predictor trains on-distribution for the transport campaign.
+
+Policy is the 4-dim Gaussian over (x, y, z, theta); the env latches the
+gripper (autograsp dynamics, reference
+``envs/mujoco_env/cartgripper_env/autograsp_env.py:43-52``).  Save dir is
+env-overridable (``VMPC_DATA_DIR``, default ``/root/data/collect/ag_r4``).
+"""
+
+import os
+import os.path
+
+import numpy as np
+
+from visual_foresight_tpu.agent.general_agent import GeneralAgent
+from visual_foresight_tpu.envs.mujoco_env.cartgripper_env.autograsp_env import (
+    AutograspCartgripperEnv)
+from visual_foresight_tpu.policy.random.gaussian import GaussianPolicy
+
+DATA_DIR = os.environ.get('VMPC_DATA_DIR', '/root/data/collect/ag_r4')
+current_dir = os.path.dirname(os.path.realpath(__file__))
+
+env_params = {
+    'num_objects': 3,
+    'viewer_image_height': 96,
+    'viewer_image_width': 128,
+    'cube_objects': True,
+    'ncam': 1,
+    'finger_sensors': True,
+    'autograsp': {'zthresh': -0.06, 'touchthresh': 0.0, 'reopen': True},
+}
+
+agent = {
+    'type': GeneralAgent,
+    'env': (AutograspCartgripperEnv, env_params),
+    'data_save_dir': DATA_DIR,
+    'T': 30,
+    'image_height': 48,
+    'image_width': 64,
+    'gen_xml': 1,
+    # no rejection sampling: the campaign needs maximum trajectory
+    # throughput and diverse (incl. failed-grasp) data
+}
+
+policy = {
+    'type': GaussianPolicy,
+    'nactions': 10,
+    'initial_std': 0.04,
+    'initial_std_lift': 0.6,
+    'initial_std_rot': np.pi / 32,
+}
+
+config = {
+    'traj_per_file': 128,
+    'current_dir': current_dir,
+    'save_data': True,
+    'seperate_good': True,
+    'save_raw_images': False,
+    'start_index': int(os.environ.get('VMPC_START_INDEX', 0)),
+    'end_index': int(os.environ.get('VMPC_END_INDEX', 100000)),
+    'agent': agent,
+    'policy': policy,
+    'ngroup': 1000,
+}

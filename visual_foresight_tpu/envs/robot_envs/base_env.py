@@ -69,6 +69,7 @@ class BaseRobotEnv(BaseEnv):
         self._setup_robot()
         self._obs_tol = 0.5 if self._hp.opencv_tracking else self._hp.OFFSET_TOL
         self._connect_controller()
+        self._exercise_gripper()
         self._connect_cameras()
 
         self._base_adim = self._base_sdim = _QPOS_DIM
@@ -113,8 +114,9 @@ class BaseRobotEnv(BaseEnv):
         self._cameras = [
             CameraRecorder(t, self._hp.opencv_tracking, self._save_video)
             for t in self._hp.camera_topics]
-        self._exercise_gripper()
 
+        if not self._cameras:
+            raise AssertionError('no cameras configured')
         dims = {(c.img_height, c.img_width) for c in self._cameras}
         if len(dims) != 1:
             raise AssertionError('camera image streams do not match')

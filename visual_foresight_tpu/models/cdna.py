@@ -142,23 +142,6 @@ class _SubpixelHead(nn.Module):
         return out + bias_full[None]
 
 
-class _ConvParams(nn.Module):
-    """Declare a 1x1-conv parameter pair (kernel + bias) under the SAME scope
-    layout as ``nn.Conv`` without applying the convolution — lets a fused
-    formulation consume the weights directly while staying checkpoint-
-    compatible with the unfused graph."""
-
-    in_features: int
-    out_features: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                            (1, 1, self.in_features, self.out_features))
-        bias = self.param('bias', nn.initializers.zeros, (self.out_features,))
-        return kernel, bias
-
-
 class CDNAStep(nn.Module):
     """One prediction step with nn.scan-compatible (carry, x) signature."""
 

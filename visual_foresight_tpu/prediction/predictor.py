@@ -218,6 +218,7 @@ class TPUPredictor:
         self._apply_model_config()
         template = self._init_params()
         self.params = []
+        self.restored = True
         for c in range(self.n_cam):
             view_dir = os.path.join(str(self._model_path), 'view{}'.format(c))
             tf1_prefix = self._latest_tf1_prefix(view_dir)
@@ -237,6 +238,7 @@ class TPUPredictor:
                     print('WARNING: no checkpoint at {}; using random init'
                           .format(view_dir))
                     params = self._init_params(seed=c)
+                    self.restored = False
                 else:
                     raise
             self.params.append(params)
