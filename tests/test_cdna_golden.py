@@ -190,6 +190,56 @@ def test_scheduled_sampling_semantics():
     assert early.mean() > 0.95
 
 
+def test_full_step_matches_vendored_numpy_reference():
+    """The de-circularized parity gate: a 4-step rollout (2 teacher-forced +
+    2 autoregressive) of the classic CDNA/SNA predictor must reproduce the
+    VENDORED outputs of ``tests/numpy_cdna_ref.py`` — a pure-numpy
+    implementation written from the paper equations that shares no code with
+    ``models/cdna.py`` — within the 1e-3 gate (regenerate with
+    ``python tests/gen_cdna_fixture.py``)."""
+    import os
+
+    from visual_foresight_tpu.models.cdna import CDNAPredictor
+
+    path = os.path.join(os.path.dirname(__file__), 'assets',
+                        'cdna_golden_full.npz')
+    fx = np.load(path)
+
+    def unflatten(flat):
+        tree = {}
+        for key, v in flat.items():
+            parts = key.split('/')
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(v)
+        return tree
+
+    params = {'params': {'step': unflatten(
+        {k[len('param:'):]: fx[k] for k in fx.files
+         if k.startswith('param:')})}}
+
+    model = CDNAPredictor(n_context=2, num_masks=4, kernel_size=3, sdim=3,
+                          adim=3, enc_features=(8, 12, 16), num_distribs=1,
+                          dtype=jnp.float32, std_factor=0,
+                          separable_lstm=False, lstm_kernel=5, sna=True)
+    out = model.apply(params, jnp.asarray(fx['images']),
+                      jnp.asarray(fx['actions']), jnp.asarray(fx['states']),
+                      jnp.asarray(fx['distribs']),
+                      gt_mask=jnp.asarray(fx['gt_mask']))
+
+    np.testing.assert_allclose(np.asarray(out['gen_images']),
+                               fx['gen_images'], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out['gen_distribs']),
+                               fx['gen_distribs'], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out['gen_states']),
+                               fx['gen_states'], atol=1e-3)
+    # the gate should in fact be much tighter than 1e-3 in f32 — record a
+    # regression tripwire at 1e-4 on the frames
+    assert float(np.abs(np.asarray(out['gen_images']) -
+                        fx['gen_images']).max()) < 1e-4
+
+
 def test_rollout_causality_under_teacher_forcing():
     """With full teacher forcing, the prediction at step t must not change
     when frames AFTER t+1 change (the scan consumes gt frame t at step t;
