@@ -65,3 +65,24 @@ def test_roundtrip(tmp_path):
     first = ds2.get('images', 'train')
     second = ds2.get('images', 'train')
     assert not np.array_equal(first, second)
+
+
+def test_split_fractions_respect_weights(tmp_path, monkeypatch):
+    """Regression: the empty-mode seeding must stop after ONE buffered traj
+    per mode — gating on flushed-file counters alone force-fed val/test
+    until each flushed a whole traj_per_file file (observed: 37% of a
+    1,100-traj collection landed in val/test instead of ~10%)."""
+    from visual_foresight_tpu.agent.utils import record_saver as rs
+
+    monkeypatch.setattr(rs, 'save_tf_record', lambda *a, **k: None)
+    saver = rs.RecordSaver(str(tmp_path), sequence_length=4,
+                           traj_per_file=128)
+    np.random.seed(0)
+    n = 2000
+    for _ in range(n):
+        saver.add_traj({'dummy': 0})
+    saver.flush()
+    train_frac = saver._save_counters[0] / float(n)
+    assert train_frac > 0.85, 'train starved: {:.2f}'.format(train_frac)
+    # every mode still seeded
+    assert all(c > 0 for c in saver._save_counters)

@@ -71,12 +71,17 @@ class RecordSaver:
     def add_traj(self, traj):
         draw = None
         if not self._force_draw:
-            # seed each non-empty mode with at least one early trajectory
+            # seed each non-empty mode with at least one early trajectory;
+            # count buffered-but-unflushed trajs too — save counters only
+            # move on file flush (every traj_per_file), so gating on them
+            # alone would keep force-feeding val/test until each flushed a
+            # whole file, starving train of ~2*traj_per_file early trajs
             for i in range(3):
-                if self._save_counters[i] == 0 and self._train_test_val[i] > 0 \
-                        and np.random.randint(0, 2) == 1:
+                if self._save_counters[i] == 0 and \
+                        not self._traj_buffers[i] and \
+                        self._train_test_val[i] > 0 and \
+                        np.random.randint(0, 2) == 1:
                     draw = i
-                    continue
         if draw is None:
             draw = np.random.choice([0, 1, 2], 1, p=self._train_test_val)[0]
         self._traj_buffers[draw].append(traj)
