@@ -29,6 +29,15 @@ env_params = {
     'cube_objects': True,
     'ncam': 1,
     'finger_sensors': True,
+    # spaced spawns cut the born-bad-scene rate (overlap -> solver ejection
+    # through the floor); same value the reference's grasping experiments
+    # use (reference experiments/sim/ensemble_grasping/hparams.py:20)
+    'object_object_mindist': 0.15,
+    # the library default (40 blocks x 500 substeps x dt=0.005 = 100
+    # simulated seconds, reference parity) spends 70% of collection time
+    # settling an already-settled scene: final object z is identical to 4
+    # decimals from 4 blocks up (measured).  6 blocks = 15 sim-seconds.
+    'skip_first': 6,
     'autograsp': {'zthresh': -0.06, 'touchthresh': 0.0, 'reopen': True},
 }
 
@@ -56,6 +65,7 @@ config = {
     'traj_per_file': 128,
     'current_dir': current_dir,
     'save_data': True,
+    'skip_bad_trajs': True,   # unattended campaign: skip unproducible indices
     'seperate_good': True,
     'save_raw_images': False,
     'start_index': int(os.environ.get('VMPC_START_INDEX', 0)),

@@ -87,6 +87,9 @@ class GeneralAgent(object):
 
     def _setup_world(self, itr):
         env_cls, env_params = self._hyperparams['env']
+        old_env = getattr(self, 'env', None)
+        if old_env is not None:
+            old_env.close()   # free the EGL context before making another
         self.env = env_cls(env_params, self._reset_state)
         # envs own the true dimensionalities; propagate them to the config
         # so savers/policies read consistent values
@@ -114,16 +117,33 @@ class GeneralAgent(object):
             self._setup_world(i_traj)
 
         max_attempts = self._hyperparams.get('imax', 100)
+        last_exc = None
         for i_trial in range(1, max_attempts + 1):
+            if i_trial % 5 == 1 and i_trial > 1 and not self._is_robot:
+                # A generated scene can be born bad (object spawned
+                # intersecting → ejected through the floor on every reset,
+                # failing valid_rollout deterministically).  The reference
+                # (visual_mpc/agent/general_agent.py:69-79) retries the same
+                # scene imax times and aborts; regenerating every 5 failed
+                # trials makes unattended campaigns survive it.
+                print('traj {}: {} failed trials; regenerating scene'.format(
+                    i_traj, i_trial - 1))
+                self._setup_world(i_traj)
             try:
                 agent_data, obs_dict, policy_outs = \
                     self.rollout(policy, i_trial, i_traj)
-            except (Image_Exception, Environment_Exception):
+            except (Image_Exception, Environment_Exception) as exc:
+                last_exc = exc
+                if i_trial % 10 == 0:   # surface persistent faults in the log
+                    print('traj {}: {} failed rollouts, last: {!r}'.format(
+                        i_traj, i_trial, exc))
                 continue
             if agent_data['traj_ok']:
                 print('needed {} trials'.format(i_trial))
                 return agent_data, obs_dict, policy_outs
-        raise Bad_Traj_Exception
+        raise Bad_Traj_Exception(
+            'traj {}: no valid rollout in {} attempts (last exception: {!r})'
+            .format(i_traj, max_attempts, last_exc))
 
     # -- observation bookkeeping ---------------------------------------------
 

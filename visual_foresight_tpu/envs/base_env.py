@@ -53,6 +53,13 @@ class BaseEnv:
     def sdim(self):
         raise NotImplementedError
 
+    def close(self):
+        """Release any OS resources (render contexts, device handles).
+
+        Called by the agent before a ``gen_xml`` scene regeneration replaces
+        the env; default is a no-op for envs that hold nothing.
+        """
+
     def seed(self, seed=None):
         random.seed(seed)
         np.random.seed(seed)

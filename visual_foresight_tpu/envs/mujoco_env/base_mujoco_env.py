@@ -90,6 +90,25 @@ class BaseMujocoEnv(BaseEnv):
                                              self._frame_width)
         return self._renderer
 
+    def close(self):
+        """Free the offscreen renderer's EGL context deterministically.
+
+        With ``gen_xml: 1`` a collection campaign builds a fresh env (and so
+        a fresh ``mujoco.Renderer`` / EGL context) every trajectory; relying
+        on GC-time ``__del__`` leaks contexts until ``eglCreateContext``
+        starts failing, after which every rollout dies and the campaign
+        aborts with ``Bad_Traj_Exception`` (observed after ~8 trajs on this
+        box).  The agent calls this before replacing the env."""
+        renderer, self._renderer = self._renderer, None
+        if renderer is not None:
+            try:
+                renderer.close()
+            except Exception:
+                pass  # EGL display may already be torn down at interpreter exit
+
+    def __del__(self):
+        self.close()
+
     def render(self):
         """Render every camera; returns (ncam, H, W, 3) uint8."""
         renderer = self._get_renderer()

@@ -228,6 +228,18 @@ class BaseCartgripperEnv(BaseMujocoEnv):
 
         self._previous_target_qpos = snap_ctrl.copy()
         reset_obs = self._get_obs(finger_force / self.skip_first / self.substeps)
+        if self._read_reset_state is None and not self.valid_rollout():
+            # A freshly sampled scene can be born bad: overlapping spawns get
+            # ejected through the floor by the contact solver during the
+            # settling loop, so every rollout of this placement would fail
+            # valid_rollout() after a full (wasted) T-step episode.  Fail the
+            # trial now — the agent's retry re-enters reset(), which
+            # re-samples placements (and regenerates the XML after 5 fails).
+            # Deterministic task replays (reset_state given) skip the check.
+            from visual_foresight_tpu.agent.general_agent import (
+                Environment_Exception)
+            raise Environment_Exception('object below floor after reset '
+                                        '(born-bad scene)')
         self._init_dynamics()
         self._reset_eval()
         return reset_obs, write_reset_state

@@ -50,8 +50,30 @@ class Sim(object):
             yield itr
 
     def run(self):
+        """Iterate the index stream; optionally survive unproducible indices.
+
+        With ``skip_bad_trajs: True`` in the config, a ``Bad_Traj_Exception``
+        (every retry of one trajectory failed — e.g. a transiently broken
+        scene) skips that index after forcing a full world rebuild, instead
+        of aborting a multi-hour collection campaign.  A cap of 5
+        *consecutive* skipped indices still aborts, so a permanently broken
+        worker cannot spin at imax rollouts per index forever."""
+        from visual_foresight_tpu.agent.general_agent import Bad_Traj_Exception
+        skip_bad = self._hyperparams.get('skip_bad_trajs', False)
+        consecutive_bad = 0
         for itr in self._index_stream():
-            self.take_sample(itr)
+            try:
+                self.take_sample(itr)
+                consecutive_bad = 0
+            except Bad_Traj_Exception as exc:
+                if not skip_bad:
+                    raise
+                consecutive_bad += 1
+                print('skipping unproducible traj {} ({} consecutive): {}'
+                      .format(itr, consecutive_bad, exc))
+                if consecutive_bad >= 5:
+                    raise
+                self.agent._setup_world(itr)   # rebuild scene + renderer
         self.agent.cleanup()
 
     def take_sample(self, sample_index):
