@@ -114,8 +114,16 @@ def generate(env, reset_state, min_dist, rng, settle_steps=2000):
         for _ in range(settle_steps):
             env._sim_step()
         settled = np.asarray(env._data.qpos[base:base + 3]).copy()
+        all_obj = np.asarray(env._data.qpos[base:base + 7 * nobj]
+                             ).reshape(nobj, 7)[:, :3]
+        bystanders_ok = nobj == 1 or (
+            # the teleported object must not eject or displace the others
+            np.all(np.abs(all_obj[1:]) < 1.5) and
+            np.all(np.linalg.norm(all_obj[1:, :2] - qpos_start[1:, :2],
+                                  axis=-1) < 0.05))
         if np.linalg.norm(settled[:2] - target) < 0.05 and \
-                abs(settled[2]) < 1.0:    # rested there (not tunneling)
+                abs(settled[2]) < 1.0 and bystanders_ok and \
+                np.linalg.norm(settled[:2] - start_xy) >= min_dist:
             break
     else:
         raise ValueError('no stable goal placement >= {} found'.format(
