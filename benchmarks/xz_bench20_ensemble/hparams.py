@@ -1,19 +1,14 @@
-"""Reproducible 20-task lifting benchmark: pixel-cost MPC, flagship predictor.
+"""Ensemble-disagreement MPC on the vendored 20-task lifting set.
 
-The task set is VENDORED in-repo (``benchmarks/tasks/xz_lifting_bench20``,
-displacement-selected from a 120-trajectory raw xz-grasp collection —
-regenerate with ``sim/util/select_benchmark_tasks``), so the campaign row is
-reproducible from a clone plus a trained flagship checkpoint
-(``make bench_model`` or ``training/train_predictor`` on the r4_flagship
-collection; see ``benchmarks/README.md``).
-
-Operating point matches the reference's experiments (800 samples,
-reference ``experiments/sim/cartgripper_2d_grasping/pixel_cost/hparams.py:37``)
-and rounds 2-3 of EVAL.md.
+Three independently seeded flagship predictors (same data, seeds 1-3; see
+docs/EVAL.md round 4 for the training recipe); cost = mean pixel cost +
+lambda * ensemble variance, vmapped over the stacked parameter pytrees in
+one device program (capability of reference
+``policy/cem_controllers/variants/ensemble_vidpred.py:18-62``).
 
 Run::
 
-    python -m visual_foresight_tpu.sim.run benchmarks/xz_bench20/hparams.py --benchmark
+    python -m visual_foresight_tpu.sim.run benchmarks/xz_bench20_ensemble/hparams.py --benchmark
 """
 
 import os.path
@@ -21,11 +16,14 @@ import os.path
 from visual_foresight_tpu.agent.benchmarking_agent import BenchmarkAgent
 from visual_foresight_tpu.envs.mujoco_env.cartgripper_env.cartgripper_xz_grasp import (
     CartgripperXZGrasp)
-from visual_foresight_tpu.policy.cem_controllers import PixelCostController
+from visual_foresight_tpu.policy.cem_controllers.variants.ensemble_vidpred import (
+    CEMControllerEnsembleVidPred)
 
 BASE_DIR = '/'.join(str.split(__file__, '/')[:-1])
 REPO_ROOT = os.path.dirname(os.path.dirname(BASE_DIR))
 current_dir = os.path.dirname(os.path.realpath(__file__))
+
+MODEL_ROOT = os.environ.get('VMPC_MODEL_ROOT', '/root/data/models')
 
 env_params = {
     'viewer_image_height': 96,
@@ -48,18 +46,18 @@ agent = {
 }
 
 policy = {
-    'type': PixelCostController,
+    'type': CEMControllerEnsembleVidPred,
     'action_order': ['x', 'z', 'grasp'],
     'initial_std_lift': 0.5,
     'rejection_sampling': False,
     'replan_interval': 10,
     'num_samples': 800,
     'nactions': 15,
-    # repeat=3 and iterations=3 are the defaults (overriding with the
-    # default raises by design)
     'T': 45,
-    'model_path': os.environ.get('VMPC_MODEL_DIR',
-                                 '/root/data/models/xz_flagship'),
+    # num_ensembles=3 and ensemble_var_lambda=1.0 are the defaults
+    'model_path': [MODEL_ROOT + '/xz_ens1',
+                   MODEL_ROOT + '/xz_ens2',
+                   MODEL_ROOT + '/xz_ens3'],
 }
 
 config = {

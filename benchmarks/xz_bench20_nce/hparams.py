@@ -1,19 +1,15 @@
-"""Reproducible 20-task lifting benchmark: pixel-cost MPC, flagship predictor.
+"""NCE-embedding-cost MPC on the vendored 20-task lifting set.
 
-The task set is VENDORED in-repo (``benchmarks/tasks/xz_lifting_bench20``,
-displacement-selected from a 120-trajectory raw xz-grasp collection —
-regenerate with ``sim/util/select_benchmark_tasks``), so the campaign row is
-reproducible from a clone plus a trained flagship checkpoint
-(``make bench_model`` or ``training/train_predictor`` on the r4_flagship
-collection; see ``benchmarks/README.md``).
-
-Operating point matches the reference's experiments (800 samples,
-reference ``experiments/sim/cartgripper_2d_grasping/pixel_cost/hparams.py:37``)
-and rounds 2-3 of EVAL.md.
+Cost = negative dot product between L2-normalized embeddings of the final
+predicted frames and the goal image (capability of reference
+``policy/cem_controllers/variants/nce_cost_controller.py:83-164``); the
+embedding net runs inside the fused device program.  Embedding trained with
+``training/train_classifier --mode nce`` on the same collection the
+predictor saw (docs/EVAL.md round 4).
 
 Run::
 
-    python -m visual_foresight_tpu.sim.run benchmarks/xz_bench20/hparams.py --benchmark
+    python -m visual_foresight_tpu.sim.run benchmarks/xz_bench20_nce/hparams.py --benchmark
 """
 
 import os.path
@@ -21,7 +17,8 @@ import os.path
 from visual_foresight_tpu.agent.benchmarking_agent import BenchmarkAgent
 from visual_foresight_tpu.envs.mujoco_env.cartgripper_env.cartgripper_xz_grasp import (
     CartgripperXZGrasp)
-from visual_foresight_tpu.policy.cem_controllers import PixelCostController
+from visual_foresight_tpu.policy.cem_controllers.variants.nce_cost_controller import (
+    NCECostController)
 
 BASE_DIR = '/'.join(str.split(__file__, '/')[:-1])
 REPO_ROOT = os.path.dirname(os.path.dirname(BASE_DIR))
@@ -48,18 +45,18 @@ agent = {
 }
 
 policy = {
-    'type': PixelCostController,
+    'type': NCECostController,
     'action_order': ['x', 'z', 'grasp'],
     'initial_std_lift': 0.5,
     'rejection_sampling': False,
     'replan_interval': 10,
     'num_samples': 800,
     'nactions': 15,
-    # repeat=3 and iterations=3 are the defaults (overriding with the
-    # default raises by design)
     'T': 45,
     'model_path': os.environ.get('VMPC_MODEL_DIR',
                                  '/root/data/models/xz_flagship'),
+    'embedding_path': os.environ.get('VMPC_EMBEDDING_DIR',
+                                     '/root/data/models/xz_nce'),
 }
 
 config = {
