@@ -25,7 +25,10 @@ while :; do
     if [ $rc -eq 0 ]; then
         break
     fi
-    LAST=$(grep -o 'taking sample [0-9]*' "$LOG" | tail -1 | awk '{print $3}')
+    # the simulator prints the absolute trajectory id as "(traj N)";
+    # the bare "taking sample N" number is 0-based within one worker run
+    # and must NOT be used once VMPC_START_INDEX is non-zero
+    LAST=$(grep -o '(traj [0-9]*)' "$LOG" | tail -1 | tr -dc 0-9)
     [ -z "$LAST" ] && LAST=$START
     NEXT=$((LAST + 1))
     RESTARTS=$((RESTARTS + 1))

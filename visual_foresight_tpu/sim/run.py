@@ -188,6 +188,10 @@ def build_worker_configs(hyperparams, args, ranges, result_dir, record_queue,
         conf['start_index'], conf['end_index'] = lo, hi
         conf['ntraj'] = hyperparams['end_index'] - \
             hyperparams['start_index'] + 1
+        # counter-based indices are 0-based across the whole run, while each
+        # worker's start_index is its private range lo; keep the run-global
+        # base around so workers can report absolute trajectory ids
+        conf['_global_start_index'] = hyperparams['start_index']
         conf['gpu_id'] = i + args.gpu_id
         conf['result_dir'] = result_dir
         conf['_do_benchmark'] = args.do_benchmark

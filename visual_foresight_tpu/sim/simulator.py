@@ -42,11 +42,17 @@ class Sim(object):
             yield from range(lo, hi + 1)
             return
         total = self._hyperparams['ntraj']
+        # counter indices are 0-based within this run; shard names are offset
+        # by the campaign-global start index, so print the absolute
+        # trajectory id too — the campaign restart driver resumes from it
+        base = self._hyperparams.get('_global_start_index',
+                                     self._hyperparams.get('start_index', 0))
         while True:
             itr = self._counter.ret_increment
             if itr >= total:
                 return
-            print('taking sample {} of {}'.format(itr, total))
+            print('taking sample {} of {} (traj {})'.format(
+                itr, total, base + itr))
             yield itr
 
     def run(self):
