@@ -58,3 +58,24 @@ def test_config_loads(path):
         configuration = mod.configuration
         assert 'model_path' in configuration
         assert configuration.get('context_frames', 1) >= 1
+
+
+def _benchmark_config_files():
+    return sorted(glob.glob(os.path.join(REPO, 'benchmarks', '*',
+                                         'hparams.py')))
+
+
+@pytest.mark.parametrize('path', _benchmark_config_files(),
+                         ids=lambda p: os.path.relpath(p, REPO))
+def test_benchmark_config_hparams_validate(path):
+    """Benchmark configs must survive the strict typed-override pass
+    (overriding with the default raises by design, list/str mismatches
+    raise) WITHOUT building a predictor — controller __init__ applies
+    overrides before any checkpoint load, so this is exactly the layer a
+    campaign launch would die in."""
+    mod = _load(path)
+    pol = dict(mod.config['policy'])
+    ptype = pol.pop('type')
+    inst = object.__new__(ptype)
+    inst._hp = ptype._default_hparams(inst)
+    ptype._override_defaults(inst, pol)   # raises on any bad override

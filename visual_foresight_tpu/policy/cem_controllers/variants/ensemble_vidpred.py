@@ -73,6 +73,10 @@ class CEMControllerEnsembleVidPred(PixelCostController):
         parent_params = super()._default_hparams()
         parent_params.add_hparam('num_ensembles', 3)
         parent_params.add_hparam('ensemble_var_lambda', 1.0)
+        # unlike the parent, model_path may be a LIST of per-member
+        # checkpoint dirs; clear the str-typed default so the typed
+        # override check accepts either form
+        parent_params.set_hparam('model_path', None)
         return parent_params
 
     def perform_CEM(self, state):
