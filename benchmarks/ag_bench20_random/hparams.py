@@ -61,7 +61,9 @@ policy = {
 
 config = {
     'traj_per_file': 128,
-    'current_dir': current_dir,
+    # reports land in <current_dir>/verbose; keep them per task set so an
+    # ag_bench20_hard run cannot overwrite the ag_bench20 aggregates
+    'current_dir': os.path.join(current_dir, 'results_' + TASK_SET),
     'save_data': False,
     'seperate_good': False,
     'save_raw_images': True,
