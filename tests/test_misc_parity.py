@@ -97,3 +97,24 @@ def test_offline_env_replays(tmp_path):
     assert np.array_equal(obs['images'][0], frames[0])
     obs1 = env.step(np.zeros(3))
     assert np.array_equal(obs1['images'][0], frames[1])
+
+
+def test_predictor_list_model_path_adopts_first_member_config(tmp_path):
+    """Ensemble serving: a LIST of member checkpoint dirs must adopt the
+    architecture recorded in the FIRST member's model_config.json (the
+    round-4 ensemble campaign served default-arch apply() against
+    flagship-arch member params and crashed at trace time)."""
+    import json
+
+    cfg = {'num_masks': 4, 'enc_features': [8, 16, 16], 'kernel_size': 3}
+    member = tmp_path / 'ens1'
+    member.mkdir()
+    (member / 'model_config.json').write_text(json.dumps(cfg))
+
+    from visual_foresight_tpu.prediction.predictor import TPUPredictor
+    p = TPUPredictor([str(member), str(tmp_path / 'ens2')],
+                     {'img_dims': (16, 16), 'sequence_length': 5})
+    p.restore()   # no checkpoint -> random init (warns), but config applies
+    assert p.model.num_masks == 4
+    assert tuple(p.model.enc_features) == (8, 16, 16)
+    assert p.model.kernel_size == 3

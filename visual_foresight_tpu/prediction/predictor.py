@@ -87,6 +87,12 @@ class TPUPredictor:
                  model_kwargs=None):
         # n_gpus/first_gpu kept for ctor compatibility with the reference
         # controllers; device placement is handled by JAX/shardings.
+        # Ensemble controllers pass a LIST of member checkpoint dirs; all
+        # members share one architecture, so this predictor serves as the
+        # first member and the model config is read from its dir (the
+        # ensemble controller restores the remaining members itself).
+        if isinstance(model_path, (list, tuple)) and model_path:
+            model_path = model_path[0]
         self._model_path = model_path
         hp = dict(DEFAULT_HPARAMS)
         hp.update(hparams or {})
