@@ -71,6 +71,16 @@ def main():
     ap.add_argument('--stage', type=int, default=4,
                     help='run stages 1..N (default all)')
     ap.add_argument('--iters', type=int, default=50)
+    ap.add_argument('--block_b', type=int, default=8,
+                    help='pallas batch block at the operating point '
+                         '(round-4 finding: the NHWC kernel OOMs scoped '
+                         'VMEM at 200x48x64 for ANY block_b; bisect one '
+                         'bounded process per value)')
+    ap.add_argument('--kernel', choices=('eff', 'chw'), default='chw',
+                    help='NHWC kernel (eff) or the layout-correct '
+                         'channel-major kernel (chw)')
+    ap.add_argument('--vmem_mb', type=int, default=0,
+                    help='>0: pass vmem_limit_bytes to Mosaic')
     args = ap.parse_args()
 
     say(f'jax {jax.__version__} devices={jax.devices()}')
@@ -92,7 +102,12 @@ def main():
         return
 
     from visual_foresight_tpu.ops.cdna_warp import dna_warp
-    from visual_foresight_tpu.ops.pallas_cdna import fused_warp_composite_eff
+    from visual_foresight_tpu.ops.pallas_cdna import (fused_warp_composite_chw,
+                                                      fused_warp_composite_eff)
+    warp_fn = functools.partial(
+        fused_warp_composite_chw if args.kernel == 'chw'
+        else fused_warp_composite_eff,
+        vmem_limit_bytes=args.vmem_mb * 2**20 or None)
 
     def xla_warp(prev, first, pd, fd, eff, bg):
         """The serving XLA formulation (models/cdna.py else-branch): one
@@ -120,7 +135,7 @@ def main():
     tiny = make_args(2, 8, 128, 3, 1, 25)
     say('[stage2] compiling fused warp (tiny 2x8x128, block_b=1)...')
     t0 = time.time()
-    img, dist = fused_warp_composite_eff(*tiny, sna=True, block_b=1)
+    img, dist = warp_fn(*tiny, sna=True, block_b=1)
     say(f'[stage2] OK ({time.time() - t0:.1f}s), '
         f'img_mean={float(img.mean()):.4f}')
     if args.stage < 3:
@@ -128,9 +143,10 @@ def main():
 
     # ---- stage 3: operating point ------------------------------------
     op = make_args(200, 48, 64, 3, 1, 25)
-    say('[stage3] compiling fused warp (200x48x64, block_b=8)...')
+    say(f'[stage3] compiling fused warp ({args.kernel}, 200x48x64, '
+        f'block_b={args.block_b}, vmem_mb={args.vmem_mb})...')
     t0 = time.time()
-    img, dist = fused_warp_composite_eff(*op, sna=True, block_b=8)
+    img, dist = warp_fn(*op, sna=True, block_b=args.block_b)
     say(f'[stage3] OK ({time.time() - t0:.1f}s), '
         f'img_mean={float(img.mean()):.4f}')
 
@@ -143,11 +159,11 @@ def main():
         return
 
     # ---- stage 4: timing, pallas vs XLA ------------------------------
-    pallas_fn = functools.partial(fused_warp_composite_eff,
-                                  sna=True, block_b=8)
+    pallas_fn = functools.partial(warp_fn, sna=True, block_b=args.block_b)
     ms_p = timed_chain(pallas_fn, op, args.iters, 'stage4:pallas')
     ms_x = timed_chain(xla_warp, op, args.iters, 'stage4:xla')
-    say(json.dumps({'pallas_ms_per_step': round(ms_p, 4),
+    say(json.dumps({'kernel': args.kernel, 'block_b': args.block_b,
+                    'pallas_ms_per_step': round(ms_p, 4),
                     'xla_ms_per_step': round(ms_x, 4),
                     'speedup': round(ms_x / ms_p, 3)}))
 

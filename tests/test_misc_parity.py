@@ -46,6 +46,16 @@ def test_pallas_fused_warp_matches_xla():
     assert float(jnp.abs(out_img - ref_img).max()) < 1e-4
     assert float(jnp.abs(out_pd - ref_pd).max()) < 1e-4
 
+    # layout-correct channel-major variant: same contract, same numbers
+    from visual_foresight_tpu.ops.cdna_warp import effective_pixel_kernels
+    from visual_foresight_tpu.ops.pallas_cdna import fused_warp_composite_chw
+    eff_full = effective_pixel_kernels(kern, masks, 2)
+    chw_img, chw_pd = fused_warp_composite_chw(
+        prev, first, pd, fd, eff_full, masks[..., :2],
+        sna=True, block_b=2, interpret=True)
+    assert float(jnp.abs(chw_img - ref_img).max()) < 1e-4
+    assert float(jnp.abs(chw_pd - ref_pd).max()) < 1e-4
+
 
 def test_gdn_zero_flow_is_identity():
     """With the flow head zeroed, the warped image equals the current image."""
