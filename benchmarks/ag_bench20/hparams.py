@@ -60,6 +60,11 @@ policy = {
     'initial_std_rot': np.pi / 32,
     'rejection_sampling': False,
     'replan_interval': 10,
+    # transport moves the object far from its start pixel; carry the best
+    # predicted distribution across replans instead of re-anchoring at the
+    # (stale) start pixel — the reference's own transport experiments set
+    # this (experiments/robonet/pixel_cost/hparams.py:37)
+    'predictor_propagation': True,
     'num_samples': 800,
     'nactions': 10,
     'T': 30,
