@@ -291,3 +291,46 @@ def test_pixel_controller_fused_folding():
                        verbose_worker=None)
         assert out['actions'].shape == (4,)
     assert out['plan_stat']['scores_itr0'].shape == (8,)
+
+
+def test_pixel_controller_predictor_propagation():
+    """predictor_propagation carries the best predicted distribution across
+    replans (reference pixel_cost_controller.py:161-166,199-204): the first
+    replan anchors at the one-hot designated pixel, later replans feed the
+    propagated distribution instead, and reset() clears it."""
+    from visual_foresight_tpu.policy.cem_controllers.pixel_cost_controller import (
+        PixelCostController)
+    policy = dict(BASE_POLICY, predictor_propagation=True, num_samples=8,
+                  replan_interval=2)
+    ctrl = PixelCostController(AG_PARAMS, policy)
+
+    images, state, _ = _history(4)
+    desig = np.array([[[4, 6]]])
+    goal = np.array([[[10, 18]]])
+    ctrl.reset()
+    assert ctrl._chosen_distrib is None
+    ctrl._desig_pix = desig.reshape(1, 1, 2)
+    onehot = ctrl._make_input_distrib(0)   # no replan yet -> one-hot anchor
+    assert onehot.shape == (ctrl._net_context, 1, 16, 24, 1)
+    assert float(onehot[0, 0, 4, 6, 0]) == 1.0 and float(onehot.sum()) == \
+        ctrl._net_context
+
+    hist_i, hist_s = [images[0]], [state[0]]
+    for t in range(3):
+        hist_i.append(images[t % 2])
+        hist_s.append(state[t % 2])
+        ctrl.act(t=t, i_tr=0, desig_pix=desig, goal_pix=goal,
+                 images=np.stack(hist_i), state=np.stack(hist_s),
+                 verbose_worker=None)
+
+    # a replan happened -> the best rollout's tail is the next context
+    assert ctrl._chosen_distrib is not None
+    assert ctrl._chosen_distrib.shape == (ctrl._net_context, 1, 16, 24, 1)
+    prop = ctrl._make_input_distrib(0)
+    assert np.shares_memory(prop, ctrl._chosen_distrib) or \
+        np.array_equal(prop, ctrl._chosen_distrib[-ctrl._net_context:])
+    # warped distributions spread mass: no longer a one-hot
+    assert float(np.max(prop)) < 1.0
+
+    ctrl.reset()
+    assert ctrl._chosen_distrib is None
