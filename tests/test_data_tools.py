@@ -137,3 +137,41 @@ def test_make_transport_tasks_generate():
     assert len(fs) == 1 and fs[0].shape == fg[0].shape
     # the distractor stays put
     assert np.linalg.norm(qpos2[1, 1, :2] - qpos2[0, 1, :2]) < 0.05
+
+
+def test_merge_record_splits_multi_source(tmp_path):
+    """Multi-root merge: shards from every source land collision-free,
+    boost-good links only good/ train shards, manifest copied once."""
+    import sys
+    sys.path.insert(0, '/root/repo/scripts')
+    from merge_record_splits import merge
+
+    roots = []
+    for si in range(2):
+        root = tmp_path / 'camp{}'.format(si) / 'records'
+        for half in ('good', 'bad'):
+            for split in ('train', 'val'):
+                d = root / half / split
+                d.mkdir(parents=True)
+                (d / 'traj_0_to_1.tfrecords').write_bytes(
+                    b'shard-%d-%s-%s' % (si, half.encode(), split.encode()))
+            (root / half / 'manifest.txt').write_text('# DATA MANIFEST\n')
+        roots.append(str(root))
+
+    out = merge(roots, boost_good=2, out_dir=str(tmp_path / 'merged'))
+    train = sorted(os.listdir(os.path.join(out, 'train')))
+    val = sorted(os.listdir(os.path.join(out, 'val')))
+    # per source: 1 bad + 1 good + 2 boosted good = 4 train shards
+    assert len(train) == 8 and len(val) == 4
+    assert all(n.startswith(('src0_', 'src1_')) for n in train + val)
+    assert sum('goodboost' in n for n in train) == 4
+    assert not any('goodboost' in n for n in val)
+    # hardlinks, not copies — and the manifest came along
+    assert os.stat(os.path.join(out, 'train', train[0])).st_nlink == 2
+    assert os.path.isfile(os.path.join(out, 'manifest.txt'))
+
+    # single-root call keeps the legacy prefix-free naming
+    out1 = merge(roots[0], out_dir=str(tmp_path / 'merged1'))
+    names = sorted(os.listdir(os.path.join(out1, 'train')))
+    assert names == ['bad_train_traj_0_to_1.tfrecords',
+                     'good_train_traj_0_to_1.tfrecords']
