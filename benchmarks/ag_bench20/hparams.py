@@ -56,7 +56,9 @@ agent = {
 policy = {
     'type': PixelCostController,
     'initial_std': 0.04,
-    'initial_std_lift': 0.6,
+    # match the training corpus's z action distribution (0.6 random-corpus
+    # models, ~0.15 scripted-demonstrator models) — see ag_bench20_hard
+    'initial_std_lift': float(os.environ.get('VMPC_STD_LIFT', 0.6)),
     'initial_std_rot': np.pi / 32,
     'rejection_sampling': False,
     'replan_interval': 10,

@@ -56,7 +56,14 @@ agent = {
 policy = {
     'type': PixelCostController,
     'initial_std': 0.04,
-    'initial_std_lift': 0.6,
+    # z-sampling std must roughly match the TRAINING corpus's action
+    # distribution or CEM exploits predictor extrapolation error: 0.6 for
+    # the random-collection models (ag_r4/ag_r4b, collected at std 0.6),
+    # ~0.15 for models trained on the scripted demonstrator corpus (z-step
+    # cap 0.09, policy/handcrafted/grasp_transport_policy.py) — the
+    # reference tunes the same knob per experiment (0.2-0.5,
+    # experiments/robonet/pixel_cost/hparams.py:37)
+    'initial_std_lift': float(os.environ.get('VMPC_STD_LIFT', 0.6)),
     'initial_std_rot': np.pi / 32,
     'rejection_sampling': False,
     'replan_interval': 10,

@@ -71,7 +71,7 @@ log "transport training rc=$rc"
 
 # ---- phase 4: MPC campaigns (hard set first -- the open capability gap) ----
 log "ag_bench20_hard campaign start"
-VMPC_MODEL_DIR=/root/data/models/ag_r4d \
+VMPC_MODEL_DIR=/root/data/models/ag_r4d VMPC_STD_LIFT=0.15 \
     VMPC_RESULT_DIR=/root/data/bench/ag_r4d_hard \
     timeout 3000 python -m visual_foresight_tpu.sim.run \
     benchmarks/ag_bench20_hard/hparams.py --benchmark \
@@ -79,7 +79,7 @@ VMPC_MODEL_DIR=/root/data/models/ag_r4d \
 log "ag_bench20_hard rc=$?"
 
 log "ag_bench20 campaign start"
-VMPC_MODEL_DIR=/root/data/models/ag_r4d \
+VMPC_MODEL_DIR=/root/data/models/ag_r4d VMPC_STD_LIFT=0.15 \
     VMPC_RESULT_DIR=/root/data/bench/ag_r4d_easy \
     timeout 3000 python -m visual_foresight_tpu.sim.run \
     benchmarks/ag_bench20/hparams.py --benchmark \
