@@ -62,6 +62,18 @@ def test_grasp_transport_signature(batch):
         assert xy_disp[lifted].max() > 0.1
 
 
+def test_bad_split_contract():
+    """The ``seperate_good`` saver routes failed demos to bad/ with the SAME
+    record contract — failure data is part of the training corpus (the
+    predictor must model what happens when a grasp misses)."""
+    from visual_foresight_tpu.data.dataset_reader import BaseVideoDataset
+    ds = BaseVideoDataset(os.path.join(os.path.dirname(ASSET), 'bad'),
+                          batch_size=2, hparams_dict={'shuffle': False})
+    assert np.asarray(ds['env/image_view0/encoded', 'train']).shape == \
+        (2, 30, 48, 64, 3)
+    assert np.asarray(ds['policy/actions', 'train']).shape == (2, 30, 4)
+
+
 def test_actions_within_demonstrator_envelope(batch):
     """The scripted policy caps per-step deltas (xy 0.08, z 0.09 + noise,
     10% fully random steps at std<=0.2) — actions in the corpus must sit in
