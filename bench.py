@@ -68,11 +68,27 @@ def main():
     N_CTX = 2
     CHAIN = 20
 
+    # flagship checkpoint: prefer a freshly trained one under /root/data
+    # (make bench_model), else fall back to the checkpoint vendored in the
+    # repo — /root/data does not survive this box between rounds, and the
+    # bench must serve REAL weights either way (reference restore semantics:
+    # visual_mpc/video_prediction/setup_predictor.py:125-147)
+    model_path = os.environ.get('VF_BENCH_MODEL', '')
+    if not model_path:
+        for cand in ('/root/data/models/xz_flagship',
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  'benchmarks', 'models', 'xz_flagship')):
+            if os.path.isdir(os.path.join(cand, 'view0')):
+                model_path = cand
+                break
+        else:
+            model_path = '/root/data/models/xz_flagship'
+
     # flagship serving configuration: space-to-depth (r=4) backbone — every
     # conv-LSTM gate is a lane-aligned >=128-channel matmul at 12x16/6x8, the
     # CDNA warp/compositing runs at full 48x64 via shift-and-accumulate
     # fusions (see docs/PERFORMANCE.md for the optimization ledger)
-    predictor = TPUPredictor('/root/data/models/xz_flagship', {
+    predictor = TPUPredictor(model_path, {
         'designated_pixel_count': P, 'run_batch_size': M,
         'sequence_length': T + N_CTX, 'context_frames': N_CTX, 'ncam': NCAM,
         'img_dims': (H, W), 'adim': 3, 'sdim': 3, 'dtype': 'bfloat16',
@@ -232,6 +248,7 @@ def main():
         'degraded': not predictor.restored,
         'extra': {
             'restored_checkpoint': bool(predictor.restored),
+            'model_path': model_path,
             'hz_800_samples': round(hz_big, 2),
             'per_replan_ms_device_800': round(per_replan_big * 1e3, 2),
             'compile_800_s': round(compile_big_s, 1),

@@ -22,6 +22,7 @@ def _ckpt_dir(path):
 def latest_checkpoint(model_dir):
     """Find the highest-step checkpoint subdir ``step_<N>`` under model_dir
     (analog of ``get_maxiter_weights``, ``setup_predictor.py:12-28``)."""
+    model_dir = _ckpt_dir(model_dir)  # orbax/tensorstore require absolute paths
     if not os.path.isdir(model_dir):
         return None
     steps = []
