@@ -56,9 +56,6 @@ agent = {
 policy = {
     'type': PixelCostController,
     'initial_std': 0.04,
-    # match the training corpus's z action distribution (0.6 random-corpus
-    # models, ~0.15 scripted-demonstrator models) — see ag_bench20_hard
-    'initial_std_lift': float(os.environ.get('VMPC_STD_LIFT', 0.6)),
     'initial_std_rot': np.pi / 32,
     'rejection_sampling': False,
     'replan_interval': 10,
@@ -72,6 +69,15 @@ policy = {
     'T': 30,
     'model_path': os.environ.get('VMPC_MODEL_DIR', '/root/data/models/ag_r4'),
 }
+
+# match the training corpus's z action distribution (0.6 for random-corpus
+# models, ~0.15 for scripted-demonstrator models) — see ag_bench20_hard.
+# Identical-to-default overrides are rejected by design (policy.py
+# _override_defaults), so only set the key when it differs from the
+# GaussianCEMSampler default (0.15).
+_std_lift = float(os.environ.get('VMPC_STD_LIFT', 0.6))
+if _std_lift != 0.15:
+    policy['initial_std_lift'] = _std_lift
 
 config = {
     'traj_per_file': 128,

@@ -56,14 +56,6 @@ agent = {
 policy = {
     'type': PixelCostController,
     'initial_std': 0.04,
-    # z-sampling std must roughly match the TRAINING corpus's action
-    # distribution or CEM exploits predictor extrapolation error: 0.6 for
-    # the random-collection models (ag_r4/ag_r4b, collected at std 0.6),
-    # ~0.15 for models trained on the scripted demonstrator corpus (z-step
-    # cap 0.09, policy/handcrafted/grasp_transport_policy.py) — the
-    # reference tunes the same knob per experiment (0.2-0.5,
-    # experiments/robonet/pixel_cost/hparams.py:37)
-    'initial_std_lift': float(os.environ.get('VMPC_STD_LIFT', 0.6)),
     'initial_std_rot': np.pi / 32,
     'rejection_sampling': False,
     'replan_interval': 10,
@@ -77,6 +69,19 @@ policy = {
     'T': 30,
     'model_path': os.environ.get('VMPC_MODEL_DIR', '/root/data/models/ag_r4'),
 }
+
+# z-sampling std must roughly match the TRAINING corpus's action
+# distribution or CEM exploits predictor extrapolation error: 0.6 for
+# the random-collection models (ag_r4/ag_r4b, collected at std 0.6),
+# ~0.15 for models trained on the scripted demonstrator corpus (z-step
+# cap 0.09, policy/handcrafted/grasp_transport_policy.py) — the
+# reference tunes the same knob per experiment (0.2-0.5,
+# experiments/robonet/pixel_cost/hparams.py:37).  Identical-to-default
+# overrides are rejected by design (policy.py _override_defaults), so only
+# set the key when it differs from the GaussianCEMSampler default (0.15).
+_std_lift = float(os.environ.get('VMPC_STD_LIFT', 0.6))
+if _std_lift != 0.15:
+    policy['initial_std_lift'] = _std_lift
 
 config = {
     'traj_per_file': 128,
