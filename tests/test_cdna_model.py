@@ -192,3 +192,33 @@ def test_mask_softmax_placement_parity():
     out = fullres.apply(params, images, actions, states, distribs)
     for k in ('gen_images', 'gen_distribs', 'gen_states'):
         assert float(jnp.abs(ref[k] - out[k]).max()) == 0.0, k
+
+
+def test_fuse_decode_parity():
+    """``fuse_decode`` composes dec1 + depth_to_space + dec1_gates into one
+    matmul at the H/(2r) grid.  depth_to_space only relocates (subpixel,
+    feature) channel blocks, so the composed projection computes the same
+    linear map over the same params — outputs must agree to fp-reassociation
+    noise (the composed kernel reassociates the two contractions)."""
+    kw = dict(n_context=2, num_masks=4, kernel_size=3, sna=True,
+              num_distribs=1, sdim=3, adim=3, std_factor=4,
+              enc_features=(16, 32, 32), separable_lstm=True, lstm_kernel=3,
+              renorm_distribs=False)
+    base = CDNAPredictor(fuse_decode=False, **kw)
+    fused = CDNAPredictor(fuse_decode=True, **kw)
+    key = jax.random.PRNGKey(0)
+    B, T, H, W = 2, 6, 16, 16
+    images = jax.random.uniform(key, (B, 2, H, W, 3))
+    states = jax.random.normal(key, (B, 2, 3)) * 0.1
+    actions = jax.random.normal(key, (B, T, 3)) * 0.1
+    distribs = jnp.zeros((B, 2, H, W, 1)).at[:, :, 5, 5, 0].set(1.0)
+    params = base.init(key, images, actions, states, distribs)
+    # identical param trees: the fused path binds the same names/shapes
+    fused_params = fused.init(key, images, actions, states, distribs)
+    assert (jax.tree_util.tree_structure(params) ==
+            jax.tree_util.tree_structure(fused_params))
+    ref = base.apply(params, images, actions, states, distribs)
+    out = fused.apply(params, images, actions, states, distribs)
+    for k in ('gen_images', 'gen_distribs', 'gen_states'):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=2e-5, rtol=1e-4, err_msg=k)

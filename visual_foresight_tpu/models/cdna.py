@@ -97,6 +97,24 @@ class _BlockConv(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class _Conv1x1Params(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv(features, (1, 1), name=...)``:
+    declares the identical kernel/bias (same names, shapes, and init), but
+    returns them instead of applying the convolution, so a caller can
+    compose several 1x1 projections into one matmul while checkpoints bind
+    unchanged."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class _SubpixelHead(nn.Module):
     """Param-compatible twin of ``nn.Conv(r*r*cand, (1,1), name=...)`` +
     :func:`depth_to_space`: the subpixel-conv/transposed-conv equivalence
@@ -160,6 +178,10 @@ class CDNAStep(nn.Module):
     plan_mode: bool = False     # no teacher forcing: x carries ONLY actions
     renorm_distribs: bool = True  # renormalize warped distributions per step
     s2d_tail: bool = False      # plan-mode: warp tail in s2d coordinates
+    # std backbone: compose dec1 + depth_to_space + dec1_gates into one
+    # matmul at the H/(2r) grid (identical params; fp-reassociation-level
+    # output change) — serving-side choice, see docs/PERFORMANCE.md
+    fuse_decode: bool = False
     # where the std-backbone mask softmax runs — identical math either way
     # (softmax is over the candidate axis, and depth_to_space only relocates
     # (subpixel, candidate) groups), but the op ordering changes what XLA can
@@ -232,9 +254,29 @@ class CDNAStep(nn.Module):
         # (f1 per subpixel — the lane-crossing d2s transpose is the cost, so
         # keep its tensor small), then a 1x1 widens to the lstm4 gates; the
         # h1 skip enters additively through its own 1x1 projection
-        up = depth_to_space(conv(4 * f1, 1, 1, 'dec1')(h3), 2)     # H/r
-        gate_in = conv(4 * f1, 1, 1, 'dec1_gates')(up) + \
-            conv(4 * f1, 1, 1, 'skip1')(h1)
+        if self.fuse_decode:
+            # dec1 + depth_to_space + dec1_gates compose into ONE matmul at
+            # the H/(2r) grid: d2s only relocates (subpixel, feature) channel
+            # blocks, so W[m, (ab)G+o] = sum_c Wd[m, (ab)f1+c] * Wg[c, o]
+            # and the dec1 bias flows through the gate projection.  Param
+            # names/shapes match the unfused convs exactly (checkpoints bind
+            # unchanged); the composition depends only on params, so XLA
+            # hoists it out of the plan-mode time scan.
+            G = 4 * f1
+            kd, bd = _Conv1x1Params(f2, G, name='dec1')()
+            kg, bg = _Conv1x1Params(f1, G, name='dec1_gates')()
+            wd = kd[0, 0].astype(self.dtype).reshape(f2, 4, f1)
+            wg = kg[0, 0].astype(self.dtype)
+            wc = jnp.einsum('msc,co->mso', wd, wg).reshape(f2, 4 * G)
+            bc = (bg.astype(self.dtype)[None, :] +
+                  bd.astype(self.dtype).reshape(4, f1) @ wg).reshape(-1)
+            z = jax.lax.dot_general(h3.astype(self.dtype), wc,
+                                    (((3,), (0,)), ((), ()))) + bc
+            gate_in = depth_to_space(z, 2) + conv(4 * f1, 1, 1, 'skip1')(h1)
+        else:
+            up = depth_to_space(conv(4 * f1, 1, 1, 'dec1')(h3), 2)     # H/r
+            gate_in = conv(4 * f1, 1, 1, 'dec1_gates')(up) + \
+                conv(4 * f1, 1, 1, 'skip1')(h1)
         s4, h4 = lstm(f1, 'lstm4')(s4, gate_in)
         h4 = LayerNorm(name='ln4')(h4)
 
@@ -531,6 +573,7 @@ class CDNAPredictor(nn.Module):
     s2d_tail: bool = False
     scan_unroll: int = 1        # XLA loop unroll of the plan-mode time scan
     mask_softmax: str = 'lowres'  # see CDNAStep.mask_softmax
+    fuse_decode: bool = False   # see CDNAStep.fuse_decode
 
     @property
     def _s2d_active(self):
@@ -562,7 +605,8 @@ class CDNAPredictor(nn.Module):
                            plan_mode=plan_mode,
                            renorm_distribs=self.renorm_distribs,
                            s2d_tail=self.s2d_tail,
-                           mask_softmax=self.mask_softmax, name='step')
+                           mask_softmax=self.mask_softmax,
+                           fuse_decode=self.fuse_decode, name='step')
 
     def _initial_lstm_states(self, b, h, w):
         init = ConvLSTMCell.initial_state

@@ -77,6 +77,12 @@ DEFAULT_HPARAMS = {
     # (identical math, kills ~108 us/step of layout copies on v5e); training
     # and the classic backbone ignore it
     'mask_softmax': 'fullres',
+    # std-backbone decode-path composition (dec1 + d2s + dec1_gates as one
+    # matmul at the H/(2r) grid) — identical params, fp-reassociation-level
+    # output change; OPT-IN pending a full-replan measurement on the real
+    # chip (see docs/PERFORMANCE.md 'measured dead ends' for why isolated
+    # wins are not trusted)
+    'fuse_decode': False,
 }
 
 
@@ -116,6 +122,7 @@ class TPUPredictor:
             s2d_tail=hp['s2d_tail'],
             scan_unroll=hp['scan_unroll'],
             mask_softmax=hp['mask_softmax'],
+            fuse_decode=hp['fuse_decode'],
             **(model_kwargs or {}))
 
         self.params = None          # list: one pytree per camera
@@ -195,7 +202,8 @@ class TPUPredictor:
             renorm_distribs=self._hp['renorm_distribs'],
             s2d_tail=self._hp['s2d_tail'],
             scan_unroll=self._hp['scan_unroll'],
-            mask_softmax=self._hp['mask_softmax'])
+            mask_softmax=self._hp['mask_softmax'],
+            fuse_decode=self._hp['fuse_decode'])
 
     @staticmethod
     def _latest_tf1_prefix(view_dir):
