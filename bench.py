@@ -95,6 +95,9 @@ def main():
         'std_factor': 4, 'enc_features': (128, 256, 256),
         'separable_lstm': True, 'lstm_kernel': 3,
         'scan_unroll': int(os.environ.get('VF_BENCH_UNROLL', '1')),
+        # A/B knob for the decode-path 1x1 composition (models/cdna.py
+        # fuse_decode; identical params, fp-reassociation-level change)
+        'fuse_decode': bool(int(os.environ.get('VF_BENCH_FUSE_DECODE', '0'))),
     })
     ready = _arm_tunnel_watchdog()
     predictor.restore()
