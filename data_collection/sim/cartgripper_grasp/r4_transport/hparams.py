@@ -57,9 +57,18 @@ policy = {
     'type': GaussianPolicy,
     'nactions': 10,
     'initial_std': 0.04,
-    'initial_std_lift': 0.6,
     'initial_std_rot': np.pi / 32,
 }
+
+# z-sampling std, env-overridable so one conf collects either the 0.6
+# exploration corpus (r4/r4b) or a corpus matched to the campaign planning
+# std (VMPC_STD_LIFT=0.15 — the CEM probe distribution the predictor must
+# cover at plan time).  Identical-to-default overrides are rejected by
+# design, so only set the key when it differs from the GaussianPolicy
+# default (0.15).
+_std_lift = float(os.environ.get('VMPC_STD_LIFT', 0.6))
+if _std_lift != 0.15:
+    policy['initial_std_lift'] = _std_lift
 
 config = {
     'traj_per_file': 128,
