@@ -1,0 +1,67 @@
+#!/usr/bin/env bash
+# Round-4f grasp-transport fix: mixed-corpus retrain after the scripted-only
+# negative result (docs/EVAL.md "Scripted-demonstrator corpus").
+#
+#   1. wait for the plan-std-matched random collection (ag_r4m: the
+#      r4_transport conf at VMPC_STD_LIFT=0.15 — the SAME std the campaigns
+#      plan with) to finish or hit the stop time; stop it BY PID
+#   2. merge the scripted-demonstrator corpus (ag_r4s, 73% success — what
+#      success looks like) with ag_r4m (what CEM probes actually do)
+#   3. train the stochastic transport predictor on the mixture
+#   4. pixel-cost MPC campaigns on the vendored hard + easy sets
+#
+# Phases 3-4 serialize on the single-client TPU tunnel.
+set -u
+cd /root/repo
+
+COLLECT_PID=${1:?collection driver pid}
+STOP_AT=${2:?epoch seconds to stop collection}
+STEPS=${3:-10000}
+
+log() { echo "=== $1 $(date) ==="; }
+
+while kill -0 "$COLLECT_PID" 2>/dev/null && [ "$(date +%s)" -lt "$STOP_AT" ]; do
+    sleep 30
+done
+if kill -0 "$COLLECT_PID" 2>/dev/null; then
+    kill -- -"$COLLECT_PID" 2>/dev/null || kill "$COLLECT_PID"
+    sleep 15
+fi
+log "ag_r4m collection stopped ($(grep -c 'taking sample' /root/data/collect/ag_r4m_collect.log) trajs)"
+
+python scripts/merge_record_splits.py \
+    /root/data/collect/ag_r4s/records /root/data/collect/ag_r4m/records \
+    --out-dir /root/data/collect/ag_r4f_all
+log "merged"
+
+timeout 3000 python -m visual_foresight_tpu.training.train_predictor \
+    --data_dir /root/data/collect/ag_r4f_all \
+    --model_dir /root/data/models/ag_r4f \
+    --steps "$STEPS" --batch_size 32 --bf16 --std_factor 4 \
+    --enc_features 128 256 256 --lstm_kernel 3 --ss_k 500 \
+    --adim 4 --sdim 5 --stochastic --latent_dim 8 \
+    --ckpt_every 2000 --seed 0 \
+    > /root/data/models/ag_r4f_train.log 2>&1
+rc=$?
+log "mixed-corpus training rc=$rc"
+if [ $rc -ne 0 ]; then
+    ls /root/data/models/ag_r4f/view0/step_* >/dev/null 2>&1 || exit 1
+    log "training timed out; serving the newest intermediate checkpoint"
+fi
+
+log "ag_bench20_hard campaign start"
+VMPC_MODEL_DIR=/root/data/models/ag_r4f VMPC_STD_LIFT=0.15 \
+    VMPC_RESULT_DIR=/root/data/bench/ag_r4f_hard \
+    timeout 4200 python -m visual_foresight_tpu.sim.run \
+    benchmarks/ag_bench20_hard/hparams.py --benchmark \
+    > /tmp/ag_mpc_hard_r4f.log 2>&1
+log "ag_bench20_hard rc=$?"
+
+log "ag_bench20 campaign start"
+VMPC_MODEL_DIR=/root/data/models/ag_r4f VMPC_STD_LIFT=0.15 \
+    VMPC_RESULT_DIR=/root/data/bench/ag_r4f_easy \
+    timeout 4200 python -m visual_foresight_tpu.sim.run \
+    benchmarks/ag_bench20/hparams.py --benchmark \
+    > /tmp/ag_mpc_easy_r4f.log 2>&1
+log "ag_bench20 rc=$?"
+log "chain complete"
