@@ -75,10 +75,19 @@ def main():
     # visual_mpc/video_prediction/setup_predictor.py:125-147)
     model_path = os.environ.get('VF_BENCH_MODEL', '')
     if not model_path:
+        from visual_foresight_tpu.prediction.checkpoints import (
+            latest_checkpoint)
         for cand in ('/root/data/models/xz_flagship',
                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   'benchmarks', 'models', 'xz_flagship')):
-            if os.path.isdir(os.path.join(cand, 'view0')):
+            # gate on a RESTORABLE checkpoint, not a bare view0 dir — a
+            # partial/stale /root/data run must not shadow the vendored model
+            try:
+                restorable = latest_checkpoint(
+                    os.path.join(cand, 'view0')) is not None
+            except Exception:
+                restorable = False
+            if restorable:
                 model_path = cand
                 break
         else:

@@ -20,6 +20,8 @@ from visual_foresight_tpu.agent.benchmarking_agent import BenchmarkAgent
 from visual_foresight_tpu.envs.mujoco_env.cartgripper_env.autograsp_env import (
     AutograspCartgripperEnv)
 from visual_foresight_tpu.policy.cem_controllers import PixelCostController
+from visual_foresight_tpu.policy.cem_controllers.samplers.gaussian_sampler import (
+    GaussianCEMSampler)
 
 BASE_DIR = '/'.join(str.split(__file__, '/')[:-1])
 REPO_ROOT = os.path.dirname(os.path.dirname(BASE_DIR))
@@ -74,9 +76,9 @@ policy = {
 # models, ~0.15 for scripted-demonstrator models) — see ag_bench20_hard.
 # Identical-to-default overrides are rejected by design (policy.py
 # _override_defaults), so only set the key when it differs from the
-# GaussianCEMSampler default (0.15).
+# GaussianCEMSampler default.
 _std_lift = float(os.environ.get('VMPC_STD_LIFT', 0.6))
-if _std_lift != 0.15:
+if _std_lift != GaussianCEMSampler.get_default_hparams()['initial_std_lift']:
     policy['initial_std_lift'] = _std_lift
 
 config = {

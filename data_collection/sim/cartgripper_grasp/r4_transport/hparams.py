@@ -65,9 +65,9 @@ policy = {
 # std (VMPC_STD_LIFT=0.15 — the CEM probe distribution the predictor must
 # cover at plan time).  Identical-to-default overrides are rejected by
 # design, so only set the key when it differs from the GaussianPolicy
-# default (0.15).
+# default.
 _std_lift = float(os.environ.get('VMPC_STD_LIFT', 0.6))
-if _std_lift != 0.15:
+if _std_lift != GaussianPolicy.DEFAULT_HPARAMS['initial_std_lift']:
     policy['initial_std_lift'] = _std_lift
 
 config = {

@@ -25,7 +25,10 @@ log() { echo "=== $1 $(date) ==="; }
 
 # ---- phase 1: wait for the flagship corpus, train the bench checkpoint ----
 while kill -0 "$XZ_PID" 2>/dev/null; do
-    N=$(grep -c "taking sample" /root/data/collect/xz_r4_collect.log 2>/dev/null || echo 0)
+    # NB: grep -c prints 0 AND exits 1 on zero matches, so `|| echo 0` would
+    # emit a second line; default only when the log is missing entirely
+    N=$(grep -c "taking sample" /root/data/collect/xz_r4_collect.log 2>/dev/null)
+    N=${N:-0}
     [ "$N" -ge "$XZ_TARGET" ] && break
     sleep 30
 done

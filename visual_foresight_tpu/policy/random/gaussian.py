@@ -23,21 +23,24 @@ class GaussianPolicy(Policy):
         self.agentparams = agentparams
         self.adim = agentparams['adim']
 
+    # public so config files can consult the defaults without instantiating
+    # (identical-to-default overrides are rejected by _override_defaults)
+    DEFAULT_HPARAMS = {
+        'nactions': 5,
+        'repeat': 3,
+        'action_bound': True,
+        'action_order': None,
+        'initial_std': 0.05,
+        'initial_std_lift': 0.15,
+        'initial_std_rot': np.pi / 18,
+        'initial_std_grasp': 2.,
+        'type': None,
+        'discrete_gripper': None,
+    }
+
     def _default_hparams(self):
-        default_dict = {
-            'nactions': 5,
-            'repeat': 3,
-            'action_bound': True,
-            'action_order': None,
-            'initial_std': 0.05,
-            'initial_std_lift': 0.15,
-            'initial_std_rot': np.pi / 18,
-            'initial_std_grasp': 2.,
-            'type': None,
-            'discrete_gripper': None,
-        }
         parent_params = super()._default_hparams()
-        for k, v in default_dict.items():
+        for k, v in self.DEFAULT_HPARAMS.items():
             parent_params.add_hparam(k, v)
         return parent_params
 
