@@ -28,33 +28,15 @@ class JAXInverseModel:
     ``model_params_path``; random init (with warning) otherwise."""
 
     def __init__(self, model_params_path, hparams=None, n_gpus=1, first_gpu=0):
-        import flax.linen as nn
         import jax
-        import jax.numpy as jnp
+
+        from visual_foresight_tpu.models.inverse import InverseNet
 
         hp = {'adim': 4, 'plan_T': 7, 'num_context': 2}
         hp.update(hparams or {})
         self._hp = hp
 
-        class _Net(nn.Module):
-            adim: int
-            plan_T: int
-
-            @nn.compact
-            def __call__(self, current, goal, context_frames):
-                x = jnp.concatenate(
-                    [current, goal] + [context_frames[:, i] for i in
-                                       range(context_frames.shape[1])], -1)
-                for i, f in enumerate((32, 64, 128)):
-                    x = nn.Conv(f, (3, 3), strides=(2, 2), padding='SAME',
-                                name='c{}'.format(i))(x)
-                    x = nn.gelu(x)
-                h = jnp.mean(x, axis=(1, 2))
-                h = nn.gelu(nn.Dense(256, name='fc1')(h))
-                out = nn.Dense(self.plan_T * self.adim, name='head')(h)
-                return out.reshape(-1, self.plan_T, self.adim)
-
-        self._net = _Net(hp['adim'], hp['plan_T'])
+        self._net = InverseNet(hp['adim'], hp['plan_T'])
         self._path = model_params_path
         self._jax = jax
         self._params = None
