@@ -75,23 +75,16 @@ def main():
     # visual_mpc/video_prediction/setup_predictor.py:125-147)
     model_path = os.environ.get('VF_BENCH_MODEL', '')
     if not model_path:
+        # gate candidates on a RESTORABLE checkpoint, not a bare view0 dir —
+        # a partial/stale /root/data run must not shadow the vendored model
+        # (tests/test_flagship_mesh.py pins this fallback)
         from visual_foresight_tpu.prediction.checkpoints import (
-            latest_checkpoint)
-        for cand in ('/root/data/models/xz_flagship',
-                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  'benchmarks', 'models', 'xz_flagship')):
-            # gate on a RESTORABLE checkpoint, not a bare view0 dir — a
-            # partial/stale /root/data run must not shadow the vendored model
-            try:
-                restorable = latest_checkpoint(
-                    os.path.join(cand, 'view0')) is not None
-            except Exception:
-                restorable = False
-            if restorable:
-                model_path = cand
-                break
-        else:
-            model_path = '/root/data/models/xz_flagship'
+            resolve_model_dir)
+        model_path = resolve_model_dir(
+            ('/root/data/models/xz_flagship',
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'benchmarks', 'models', 'xz_flagship'))
+        ) or '/root/data/models/xz_flagship'
 
     # flagship serving configuration: space-to-depth (r=4) backbone — every
     # conv-LSTM gate is a lane-aligned >=128-channel matmul at 12x16/6x8, the

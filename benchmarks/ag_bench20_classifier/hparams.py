@@ -1,0 +1,97 @@
+"""Goal-conditioned classifier-cost MPC on the vendored grasp-transport set.
+
+Same env/tasks/predictor as ``benchmarks/ag_bench20`` (so the row is
+directly comparable to the pixel/random rows), but the planning cost is a
+goal-conditioned success classifier scored on final predicted frames —
+capability of reference
+``policy/cem_controllers/variants/classifier_controller.py:83-105``.
+Classifier trained self-supervised on the same mixed transport corpus the
+predictor saw::
+
+    python -m visual_foresight_tpu.training.train_classifier \
+        --data_dir /root/data/collect/ag_r5f_v1_all \
+        --model_dir /root/data/models/ag_r5_classifier --label_mode goal
+
+Run::
+
+    python -m visual_foresight_tpu.sim.run benchmarks/ag_bench20_classifier/hparams.py --benchmark
+"""
+
+import os.path
+
+import numpy as np
+
+from visual_foresight_tpu.agent.benchmarking_agent import BenchmarkAgent
+from visual_foresight_tpu.envs.mujoco_env.cartgripper_env.autograsp_env import (
+    AutograspCartgripperEnv)
+from visual_foresight_tpu.policy.cem_controllers.samplers.gaussian_sampler import (
+    GaussianCEMSampler)
+from visual_foresight_tpu.policy.cem_controllers.variants.classifier_controller import (
+    ClassifierController)
+
+BASE_DIR = '/'.join(str.split(__file__, '/')[:-1])
+REPO_ROOT = os.path.dirname(os.path.dirname(BASE_DIR))
+current_dir = os.path.dirname(os.path.realpath(__file__))
+
+env_params = {
+    'num_objects': 3,
+    'viewer_image_height': 96,
+    'viewer_image_width': 128,
+    'cube_objects': True,
+    'ncam': 1,
+    'finger_sensors': True,
+    'object_object_mindist': 0.15,
+    'skip_first': 6,
+    'autograsp': {'zthresh': -0.06, 'touchthresh': 0.0, 'reopen': True},
+}
+
+agent = {
+    'type': BenchmarkAgent,
+    'env': (AutograspCartgripperEnv, env_params),
+    'data_save_dir': os.environ.get('VMPC_RESULT_DIR', BASE_DIR) + '/results',
+    'T': 30,
+    'image_height': 48,
+    'image_width': 64,
+    'record': os.environ.get('VMPC_RESULT_DIR', BASE_DIR) + '/record/',
+    'start_goal_confs': os.environ.get(
+        'VMPC_TASK_DIR', os.path.join(REPO_ROOT, 'benchmarks/tasks'))
+        + '/ag_bench20',
+    'current_dir': current_dir,
+}
+
+policy = {
+    'type': ClassifierController,
+    'initial_std': 0.04,
+    'initial_std_rot': np.pi / 32,
+    'rejection_sampling': False,
+    'replan_interval': 10,
+    'num_samples': 800,
+    'nactions': 10,
+    'T': 30,
+    'model_path': os.environ.get('VMPC_MODEL_DIR',
+                                 '/root/data/models/ag_r5f_v1'),
+    'classifier_path': os.environ.get('VMPC_CLASSIFIER_DIR',
+                                      '/root/data/models/ag_r5_classifier'),
+    # score the mean of the last 3 predicted frames: transport success is a
+    # terminal-scene property, but a single-frame logit is noisy under the
+    # stochastic predictor
+    'final_frames': 3,
+}
+
+# match the training corpus's z action distribution — see ag_bench20.
+_std_lift = float(os.environ.get('VMPC_STD_LIFT', 0.6))
+if _std_lift != GaussianCEMSampler.get_default_hparams()['initial_std_lift']:
+    policy['initial_std_lift'] = _std_lift
+
+config = {
+    'traj_per_file': 128,
+    'current_dir': current_dir,
+    'save_data': False,
+    'seperate_good': False,
+    'save_raw_images': True,
+    'start_index': 0,
+    'end_index': 19,
+    'agent': agent,
+    'policy': policy,
+    'ngroup': 1000,
+}

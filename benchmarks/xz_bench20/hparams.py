@@ -53,7 +53,9 @@ policy = {
     'initial_std_lift': 0.5,
     'rejection_sampling': False,
     'replan_interval': 10,
-    'num_samples': 800,
+    # lane-alignment A/B (docs/PERFORMANCE.md sample-count sweep): 800 pads
+    # to 896 TPU lanes; 768 is lane-exact and ~17% faster per replan
+    'num_samples': int(os.environ.get('VMPC_NUM_SAMPLES', 800)),
     'nactions': 15,
     # repeat=3 and iterations=3 are the defaults (overriding with the
     # default raises by design)

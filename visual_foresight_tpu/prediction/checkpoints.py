@@ -35,6 +35,28 @@ def latest_checkpoint(model_dir):
     return os.path.join(model_dir, 'step_{}'.format(max(steps)))
 
 
+def resolve_model_dir(candidates, view='view0'):
+    """First candidate dir holding a RESTORABLE checkpoint under ``view``.
+
+    The serving/bench fallback chain: a freshly trained run under
+    ``/root/data`` wins, else the checkpoint vendored in the repo — gated on
+    ``latest_checkpoint`` being non-None (or a TF1 ``*.index`` bundle being
+    present) so a partial/stale dir can never shadow a good one with random
+    weights.  Returns None when no candidate is restorable.
+    """
+    import glob as globlib
+    for cand in candidates:
+        view_dir = os.path.join(str(cand), view)
+        try:
+            if latest_checkpoint(view_dir) is not None:
+                return cand
+            if globlib.glob(os.path.join(view_dir, '*.index')):
+                return cand
+        except Exception:
+            continue
+    return None
+
+
 def save_params(params, model_dir, step):
     import orbax.checkpoint as ocp
     path = os.path.join(_ckpt_dir(model_dir), 'step_{}'.format(step))
