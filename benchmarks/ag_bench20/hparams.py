@@ -60,7 +60,10 @@ policy = {
     'initial_std': 0.04,
     'initial_std_rot': np.pi / 32,
     'rejection_sampling': False,
-    'replan_interval': 10,
+    # cadence env-overridable for the replan-density experiment
+    # (docs/EVAL.md round 5); use 1 for replan-every-step (0 equals the
+    # controller default and would be rejected as a no-op override)
+    'replan_interval': int(os.environ.get('VMPC_REPLAN', 10)),
     # transport moves the object far from its start pixel; carry the best
     # predicted distribution across replans instead of re-anchoring at the
     # (stale) start pixel — the reference's own transport experiments set

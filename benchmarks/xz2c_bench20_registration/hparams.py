@@ -1,10 +1,20 @@
-"""Benchmark config #4: two-camera registration-cost MPC (capability of
-reference ``policy/cem_controllers/register_gtruth_controller.py:54-173``).
+"""Two-camera registration-cost MPC on the vendored 20-task 2-cam set.
 
-Each replan warps the current frame of BOTH cameras onto the start and goal
+Capability of reference
+``policy/cem_controllers/register_gtruth_controller.py:54-173``: each
+replan warps the current frame of BOTH cameras onto the start and goal
 images with the GDN flow net; warp errors become per-(camera, registration)
-confidence tradeoffs weighting the pixel-distance cost, and the designated
+confidence tradeoffs weighting the pixel-distance cost, so designated
 pixels track the object without hand annotation.
+
+Rebuild chain (``scripts/chain_r5d.sh``): 2-cam collection
+(``data_collection/sim/cartgripper_xz_grasp/r5_twocam``) -> per-view
+predictor training -> GDN training -> task selection
+(``sim/util/select_benchmark_tasks`` over the ``r5_twocam_tasks`` raw run).
+
+Run::
+
+    python -m visual_foresight_tpu.sim.run benchmarks/xz2c_bench20_registration/hparams.py --benchmark
 """
 
 import os.path
@@ -16,6 +26,7 @@ from visual_foresight_tpu.policy.cem_controllers.registration_controller import 
     RegisterGtruthController)
 
 BASE_DIR = '/'.join(str.split(__file__, '/')[:-1])
+REPO_ROOT = os.path.dirname(os.path.dirname(BASE_DIR))
 current_dir = os.path.dirname(os.path.realpath(__file__))
 
 env_params = {
@@ -28,15 +39,14 @@ env_params = {
 agent = {
     'type': BenchmarkAgent,
     'env': (CartgripperXZGrasp, env_params),
-    'data_save_dir': BASE_DIR,
+    'data_save_dir': os.environ.get('VMPC_RESULT_DIR', BASE_DIR) + '/results',
     'T': 30,
     'image_height': 48,
     'image_width': 64,
-    'ntask': 1,
-    'make_final_gif_pointoverlay': True,
-    'record': BASE_DIR + '/record/',
-    'start_goal_confs': os.environ.get('VMPC_TASK_DIR', BASE_DIR)
-        + '/reg_tasks/raw',
+    'record': os.environ.get('VMPC_RESULT_DIR', BASE_DIR) + '/record/',
+    'start_goal_confs': os.environ.get(
+        'VMPC_TASK_DIR', os.path.join(REPO_ROOT, 'benchmarks/tasks'))
+        + '/xz2c_bench20',
     'current_dir': current_dir,
 }
 
@@ -44,18 +54,17 @@ policy = {
     'type': RegisterGtruthController,
     'action_order': ['x', 'z', 'grasp'],
     'register_gtruth': ['start', 'goal'],
-    'gdn_path': os.environ.get('VMPC_GDN_DIR', BASE_DIR + '/gdn_model'),
+    'gdn_path': os.environ.get('VMPC_GDN_DIR', '/root/data/models/xz2c_gdn'),
     'rejection_sampling': False,
     'replan_interval': 10,
-    'num_samples': 200,
+    'num_samples': 800,
     'nactions': 10,
-    'repeat': 3,
     'T': 30,
-    'iterations': 3,
     'predictor_hparams': {
         'ncam': 2,
     },
-    'model_path': os.environ.get('VMPC_MODEL_DIR', BASE_DIR + '/modeldata'),
+    'model_path': os.environ.get('VMPC_MODEL_DIR',
+                                 '/root/data/models/xz2c_reg'),
 }
 
 config = {
@@ -65,7 +74,7 @@ config = {
     'seperate_good': False,
     'save_raw_images': True,
     'start_index': 0,
-    'end_index': 9,
+    'end_index': 19,
     'agent': agent,
     'policy': policy,
     'ngroup': 1000,

@@ -126,6 +126,12 @@ def train_inverse(args):
             m.update(step=step, sec=round(time.time() - t0, 1))
             history.append(m)
             print(json.dumps(m))
+        # periodic checkpoints: wall-clock-budgeted runs (timeout in a
+        # chain script) must still leave a servable model behind
+        if args.model_dir and args.ckpt_every and step and \
+                step % args.ckpt_every == 0:
+            checkpoints.save_params(jax.device_get(params), args.model_dir,
+                                    step)
     if args.model_dir:
         print('saved to', checkpoints.save_params(
             jax.device_get(params), args.model_dir, args.steps))
@@ -148,6 +154,7 @@ def main():
     p.add_argument('--image_width', type=int, default=64)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--log_every', type=int, default=50)
+    p.add_argument('--ckpt_every', type=int, default=500)
     train_inverse(p.parse_args())
 
 
