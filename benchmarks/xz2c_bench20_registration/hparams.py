@@ -53,7 +53,6 @@ agent = {
 policy = {
     'type': RegisterGtruthController,
     'action_order': ['x', 'z', 'grasp'],
-    'register_gtruth': ['start', 'goal'],
     'gdn_path': os.environ.get('VMPC_GDN_DIR', '/root/data/models/xz2c_gdn'),
     'rejection_sampling': False,
     'replan_interval': 10,
