@@ -186,10 +186,17 @@ def main():
     # experiments/sim/cartgripper_2d_grasping/pixel_cost/hparams.py:37) —
     # measured with the same chained-sequential-dependency methodology
     M_BIG, CHAIN_BIG = 800, 8
+    # sample microbatching at the big operating point: M=800 rolled as 4
+    # chunks of 200 restores the small-M per-sample cost (the sample sweep
+    # measured 204 -> 347 us/sample superlinearity past M=256; see
+    # docs/PERFORMANCE.md).  VF_BENCH_CHUNK=0 reproduces the round-4
+    # unchunked number.
+    chunk_big = int(os.environ.get('VF_BENCH_CHUNK', '200'))
     planner_big = FusedCEMPlanner(predictor.model, spec, M_BIG,
                                   iterations=ITERS, k_elite=10,
                                   finalweight=10.0, rejection_rounds=0,
-                                  action_bound=True, n_vis=10)
+                                  action_bound=True, n_vis=10,
+                                  sample_chunk=chunk_big)
 
     def chained_big(params, key, mean, sigma, images_seq, states_seq,
                     distribs_seq):
@@ -255,6 +262,7 @@ def main():
             'restored_checkpoint': bool(predictor.restored),
             'model_path': model_path,
             'hz_800_samples': round(hz_big, 2),
+            'sample_chunk_800': chunk_big,
             'per_replan_ms_device_800': round(per_replan_big * 1e3, 2),
             'compile_800_s': round(compile_big_s, 1),
             'per_replan_ms_device': round(per_replan * 1e3, 2),

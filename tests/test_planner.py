@@ -371,3 +371,40 @@ def test_fused_discrete_dims():
     grasp = np.asarray(out['best_actions'])[..., 2]
     assert np.all(grasp == np.floor(grasp))
     assert grasp.min() >= 0.0 and grasp.max() <= 4.0
+
+
+def test_fused_planner_sample_chunking_parity():
+    """sample_chunk microbatching (docs/PERFORMANCE.md sample sweep): with a
+    deterministic predictor the chunked program must reproduce the unchunked
+    scores, elites, refit and vis exactly — only the live working set
+    changes."""
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+
+    model, params, grids, ctx = _tiny_setup()
+    spec = make_action_spec(HP, 3)
+    imgs, states, distribs, ctx_actions = ctx
+
+    def run(**kw):
+        planner = FusedCEMPlanner(model, spec, num_samples=24, iterations=2,
+                                  k_elite=6, n_vis=4, **kw)
+        return planner.replan([params], jax.random.PRNGKey(3), imgs, states,
+                              distribs, ctx_actions, grids,
+                              initial_mean(spec), initial_sigma(spec))
+
+    plain = run()
+    chunked = run(sample_chunk=8)
+    assert np.allclose(np.asarray(plain['scores_per_itr']),
+                       np.asarray(chunked['scores_per_itr']), atol=1e-5)
+    assert np.allclose(np.asarray(plain['best_actions']),
+                       np.asarray(chunked['best_actions']), atol=1e-6)
+    assert np.allclose(np.asarray(plain['mean']),
+                       np.asarray(chunked['mean']), atol=1e-6)
+    assert np.allclose(np.asarray(plain['vis']['gen_images']),
+                       np.asarray(chunked['vis']['gen_images']), atol=1e-5)
+    # chunk not dividing a warm-start count falls back to unchunked
+    planner = FusedCEMPlanner(model, spec, num_samples=24, iterations=2,
+                              k_elite=6, n_vis=4, sample_chunk=8)
+    out = planner.replan([params], jax.random.PRNGKey(3), imgs, states,
+                         distribs, ctx_actions, grids, initial_mean(spec),
+                         initial_sigma(spec), num_samples=20)
+    assert np.asarray(out['scores_per_itr']).shape == (2, 20)

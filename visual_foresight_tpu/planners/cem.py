@@ -55,7 +55,8 @@ class FusedCEMPlanner:
                  stochastic_k: int = 1,
                  discrete_dims: Sequence[int] = (),
                  ag_epsilon: Optional[dict] = None,
-                 folding: Optional[dict] = None):
+                 folding: Optional[dict] = None,
+                 sample_chunk: int = 0):
         self._model = model
         self._spec = spec
         self._M = num_samples
@@ -121,6 +122,26 @@ class FusedCEMPlanner:
                 'num_samples must divide the mesh size'
         else:
             self._plan_sharding = None
+        # Sample microbatching: roll the M-sample batch as an internal
+        # lax.map over chunks of this size, so only the (chunk,)-scale
+        # working set is live at once.  Measured per-sample cost grows
+        # superlinearly past M=256 (204 -> 347 us/sample at M=800,
+        # docs/PERFORMANCE.md sample sweep) because the full-res warp-tail
+        # working set outgrows the on-chip hierarchy — chunking restores
+        # the small-M operating point at large M.  Scores/elites/refit are
+        # exact (per-sample costs are independent); with a stochastic
+        # predictor each chunk folds its own latent key (same distribution,
+        # different draws than the unchunked program), and the final-iter
+        # vis videos re-roll the n_vis elites in one extra small rollout.
+        self._chunk = int(sample_chunk)
+        if self._chunk:
+            assert num_samples % self._chunk == 0, \
+                'num_samples must be a multiple of sample_chunk'
+            assert self._chunk >= max(k_elite, self._n_vis), \
+                'sample_chunk must cover k_elite and n_vis'
+            assert mesh is None, \
+                'sample_chunk and mesh sharding are separate regimes '\
+                '(shard large M over chips instead)'
         # num_samples is static so a warm-started replan (reuse_mean/reuse_cov
         # shrink the sample count by reuse_factor) compiles as a second
         # variant instead of failing
@@ -239,9 +260,13 @@ class FusedCEMPlanner:
         if anchor is None:
             anchor = jnp.zeros(spec.adim, jnp.float32)
 
-        carries = self._encode_contexts(params, context_images,
-                                        context_states, context_distribs,
-                                        context_actions, M)
+        # chunked mode: the rollout batch is sample_chunk, not M (falls back
+        # to unchunked for warm-start sample counts the chunk doesn't divide)
+        use_chunk = bool(self._chunk) and M > self._chunk \
+            and M % self._chunk == 0
+        carries = self._encode_contexts(
+            params, context_images, context_states, context_distribs,
+            context_actions, self._chunk if use_chunk else M)
 
         sigma_prev = sigma   # smooth_cov blends each refit with the previous
         mppi_cov = None
@@ -315,15 +340,35 @@ class FusedCEMPlanner:
                 plan = jax.lax.with_sharding_constraint(
                     plan, self._plan_sharding)
 
-            gen_images, gen_distribs, gen_images_tm = self._rollout(
-                params, carries, plan, k_model)
+            if use_chunk:
+                n_chunks = M // self._chunk
+                plan_c = plan.reshape((n_chunks, self._chunk) +
+                                      plan.shape[1:])
+                chunk_keys = jax.random.split(k_model, n_chunks)
 
-            if self._cost_fn is not None:
-                scores = self._cost_fn(gen_images, gen_distribs, cost_ctx)
+                def score_chunk(args):
+                    plan_i, key_i = args
+                    gi, gd, _ = self._rollout(params, carries, plan_i, key_i)
+                    if self._cost_fn is not None:
+                        return self._cost_fn(gi, gd, cost_ctx)
+                    return cost_lib.expected_pixel_distance(
+                        gd, cost_ctx, self._finalweight,
+                        normalize=True, only_first_view=self._ofv)
+
+                scores = jax.lax.map(score_chunk,
+                                     (plan_c, chunk_keys)).reshape(M)
+                gen_images = gen_distribs = gen_images_tm = None
             else:
-                scores = cost_lib.expected_pixel_distance(
-                    gen_distribs, cost_ctx, self._finalweight,
-                    normalize=True, only_first_view=self._ofv)
+                gen_images, gen_distribs, gen_images_tm = self._rollout(
+                    params, carries, plan, k_model)
+
+                if self._cost_fn is not None:
+                    scores = self._cost_fn(gen_images, gen_distribs,
+                                           cost_ctx)
+                else:
+                    scores = cost_lib.expected_pixel_distance(
+                        gen_distribs, cost_ctx, self._finalweight,
+                        normalize=True, only_first_view=self._ofv)
 
             neg_top, elite_idx = jax.lax.top_k(-scores, K)
             elite_actions = plan[elite_idx]
@@ -338,7 +383,25 @@ class FusedCEMPlanner:
                 # stacking/f32 conversion inside the rollouts (a real MPC
                 # loop only consumes vis on save steps; controllers keep
                 # vis on by default)
-                if nv:
+                if nv and use_chunk:
+                    # chunked scoring never materializes the full-batch
+                    # videos; re-roll just the nv elite plans (one small
+                    # rollout — nv << chunk).  With a stochastic predictor
+                    # these draws differ from the scored ones (vis is
+                    # illustrative, scores are authoritative).
+                    vis_carries = [jax.tree.map(
+                        lambda x: x[:nv] if hasattr(x, 'shape') else x, c)
+                        for c in carries]
+                    vi, vd, vtm = self._rollout(
+                        params, vis_carries, plan[elite_idx[:nv]], k_model)
+                    vis = {
+                        'indices': elite_idx[:nv],
+                        'gen_images': jnp.swapaxes(vtm, 0, 1).astype(
+                            jnp.float32),
+                        'gen_distribs': vd,
+                        'scores': -neg_top[:nv],
+                    }
+                elif nv:
                     # gather the nv elite videos from the time-major
                     # compute-dtype stack and convert AFTER the gather: the
                     # full-batch f32 video (and its 10-dynamic-slice gather,

@@ -33,6 +33,7 @@ _CEM_DEFAULTS = dict(
     T=15,                           # planning horizon
     iterations=3,
     num_samples=200,
+    sample_chunk=0,                 # >0: device microbatch over the sample axis
     selection_frac=0.,              # elite fraction (0 = minimum_selection)
     start_planning=0,
     minimum_selection=10,

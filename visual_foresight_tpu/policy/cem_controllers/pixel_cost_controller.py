@@ -150,7 +150,8 @@ class PixelCostController(CEMBaseController):
                     autograsp=ag_cfg, stochastic_k=stoch_k,
                     discrete_dims=tuple(self._hp.get('discrete_ind', None)
                                         or ()),
-                    ag_epsilon=ag_eps_cfg)
+                    ag_epsilon=ag_eps_cfg,
+                    sample_chunk=self._hp.sample_chunk)
             elif self._hp.sampler is FoldingCEMSampler:
                 # structured folding prior: phase means/waypoints and the
                 # Gaussian remainder all sample on device; refit is the

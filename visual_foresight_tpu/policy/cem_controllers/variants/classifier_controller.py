@@ -81,7 +81,8 @@ class ClassifierController(CEMBaseController):
                 self.predictor.model, spec, self._hp.num_samples,
                 iterations=self._hp.iterations, k_elite=self.elite_count,
                 rejection_rounds=10 if self._hp.rejection_sampling else 0,
-                action_bound=self._hp.action_bound, cost_fn=classifier_cost)
+                action_bound=self._hp.action_bound, cost_fn=classifier_cost,
+                sample_chunk=self._hp.sample_chunk)
 
     def _restore_classifier(self):
         template = self.classifier.init(

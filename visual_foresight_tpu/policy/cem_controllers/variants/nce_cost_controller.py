@@ -46,7 +46,8 @@ class NCECostController(ClassifierController):
                 self.predictor.model, spec, self._hp.num_samples,
                 iterations=self._hp.iterations, k_elite=self.elite_count,
                 rejection_rounds=10 if self._hp.rejection_sampling else 0,
-                action_bound=self._hp.action_bound, cost_fn=nce_cost)
+                action_bound=self._hp.action_bound, cost_fn=nce_cost,
+                sample_chunk=self._hp.sample_chunk)
 
     def _restore_embedding(self):
         template = self.embedding.init(
