@@ -43,6 +43,7 @@ fi
 log "task set ready"
 
 wait_pid_file /tmp/chain_c.pid
+wait_pid_file /tmp/chain_e.pid
 log "TPU free; training per-view predictors"
 
 train_view() {  # train_view <camera>
