@@ -30,14 +30,14 @@ fi
 
 # raw task run (CPU MuJoCo; 60 trajs) + 20-task selection
 RAW=/root/data/collect/xz2c_r5_raw
-if [ ! -d "$RAW/raw/traj_group0" ]; then
+if [ ! -d "$RAW/train/traj_group0" ]; then
     VMPC_DATA_DIR=$RAW bash scripts/collect_campaign.sh \
         data_collection/sim/cartgripper_xz_grasp/r5_twocam_tasks/hparams.py \
         59 /root/data/collect/xz2c_r5_raw.log
 fi
 if [ ! -d benchmarks/tasks/xz2c_bench20/traj_group0 ]; then
     python -m visual_foresight_tpu.sim.util.select_benchmark_tasks \
-        "$RAW/raw" benchmarks/tasks/xz2c_bench20 \
+        "$RAW/train" benchmarks/tasks/xz2c_bench20 \
         --ntasks 20 --min_displacement 0.02 || exit 1
 fi
 log "task set ready"
