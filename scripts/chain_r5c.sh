@@ -19,7 +19,7 @@ if [ -f /tmp/chain_b.pid ]; then
 fi
 echo "=== r5c start $(date) ==="
 
-TRAIN_TIMEOUT=${TRAIN_TIMEOUT:-7200} CAMPAIGN_TIMEOUT=3600 \
+TRAIN_TIMEOUT=${TRAIN_TIMEOUT:-5400} CAMPAIGN_TIMEOUT=3600 \
     bash scripts/chain_r5.sh ag_r5f_v2 \
     /root/data/collect/ag_r5s/records /root/data/collect/ag_r5m/records \
     15000 0
@@ -40,12 +40,4 @@ harvest() {
 harvest ag_bench20_hard r5_v2
 harvest ag_bench20 r5_v2
 
-# replan-cadence variant on the hard set (same v2 model)
-VMPC_MODEL_DIR=/root/data/models/ag_r5f_v2 VMPC_STD_LIFT=0.15 VMPC_REPLAN=5 \
-    VMPC_RESULT_DIR=/root/data/bench/ag_r5f_v2_hard_rp5 timeout 4800 \
-    python -m visual_foresight_tpu.sim.run \
-    benchmarks/ag_bench20_hard/hparams.py --benchmark \
-    > /tmp/ag_r5f_v2_hard_rp5.log 2>&1
-echo "v2 hard replan-5 rc=$?"
-harvest ag_bench20_hard r5_v2_rp5
 echo "=== r5c complete $(date) ==="
