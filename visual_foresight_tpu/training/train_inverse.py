@@ -128,8 +128,9 @@ def train_inverse(args):
             print(json.dumps(m))
         # periodic checkpoints: wall-clock-budgeted runs (timeout in a
         # chain script) must still leave a servable model behind
-        if args.model_dir and args.ckpt_every and step and \
-                step % args.ckpt_every == 0:
+        ckpt_every = getattr(args, 'ckpt_every', 0)
+        if args.model_dir and ckpt_every and step and \
+                step % ckpt_every == 0:
             checkpoints.save_params(jax.device_get(params), args.model_dir,
                                     step)
     if args.model_dir:
