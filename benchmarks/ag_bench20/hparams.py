@@ -69,7 +69,11 @@ policy = {
     # (stale) start pixel — the reference's own transport experiments set
     # this (experiments/robonet/pixel_cost/hparams.py:37)
     'predictor_propagation': True,
-    'num_samples': 800,
+    # 768 = lane-aligned TPU operating point: the round-5 controlled A/B
+    # on the vendored lifting set measured 768 quality >= 800 (+0.182 vs
+    # +0.158 mean improvement, same checkpoint/tasks) at 17% less
+    # wall-clock (800 pads to 896 lanes; docs/PERFORMANCE.md sample sweep)
+    'num_samples': 768,
     'nactions': 10,
     'T': 30,
     'model_path': os.environ.get('VMPC_MODEL_DIR', '/root/data/models/ag_r4'),

@@ -53,9 +53,11 @@ policy = {
     'initial_std_lift': 0.5,
     'rejection_sampling': False,
     'replan_interval': 10,
-    # lane-alignment A/B (docs/PERFORMANCE.md sample-count sweep): 800 pads
-    # to 896 TPU lanes; 768 is lane-exact and ~17% faster per replan
-    'num_samples': int(os.environ.get('VMPC_NUM_SAMPLES', 800)),
+    # 768 = lane-aligned TPU operating point: the round-5 controlled A/B
+    # on the vendored lifting set measured 768 quality >= 800 (+0.182 vs
+    # +0.158 mean improvement, same checkpoint/tasks) at 17% less
+    # wall-clock (800 pads to 896 lanes; docs/PERFORMANCE.md sample sweep)
+    'num_samples': int(os.environ.get('VMPC_NUM_SAMPLES', 768)),
     'nactions': 15,
     # repeat=3 and iterations=3 are the defaults (overriding with the
     # default raises by design)

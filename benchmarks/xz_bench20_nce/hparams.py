@@ -50,7 +50,11 @@ policy = {
     'initial_std_lift': 0.5,
     'rejection_sampling': False,
     'replan_interval': 10,
-    'num_samples': 800,
+    # 768 = lane-aligned TPU operating point: the round-5 controlled A/B
+    # on the vendored lifting set measured 768 quality >= 800 (+0.182 vs
+    # +0.158 mean improvement, same checkpoint/tasks) at 17% less
+    # wall-clock (800 pads to 896 lanes; docs/PERFORMANCE.md sample sweep)
+    'num_samples': 768,
     'nactions': 15,
     'T': 45,
     'model_path': os.environ.get('VMPC_MODEL_DIR',
