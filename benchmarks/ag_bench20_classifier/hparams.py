@@ -55,7 +55,7 @@ agent = {
     'record': os.environ.get('VMPC_RESULT_DIR', BASE_DIR) + '/record/',
     'start_goal_confs': os.environ.get(
         'VMPC_TASK_DIR', os.path.join(REPO_ROOT, 'benchmarks/tasks'))
-        + '/ag_bench20',
+        + '/' + os.environ.get('VMPC_TASK_SET', 'ag_bench20'),
     'current_dir': current_dir,
 }
 

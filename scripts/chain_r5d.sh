@@ -48,10 +48,10 @@ log "TPU free; training per-view predictors"
 
 train_view() {  # train_view <camera>
     local cam=$1 dir=/root/data/models/xz2c_cam$1
-    [ -e "$dir/view0/step_4000" ] && return 0
+    [ -e "$dir/view0/step_3000" ] && return 0
     timeout 3600 python -m visual_foresight_tpu.training.train_predictor \
         --data_dir "$REC/all" --model_dir "$dir" --camera "$cam" \
-        --steps 4000 --batch_size 32 --bf16 --std_factor 4 \
+        --steps 3000 --batch_size 32 --bf16 --std_factor 4 \
         --enc_features 128 256 256 --lstm_kernel 3 --ss_k 300 \
         --ckpt_every 1000 --seed 0 \
         > /root/data/models/xz2c_cam${cam}_train.log 2>&1

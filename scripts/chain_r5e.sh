@@ -18,7 +18,7 @@ echo "=== r5e start $(date) ==="
 
 timeout 2400 python -m visual_foresight_tpu.training.train_inverse \
     --data_dir /root/data/collect/ag_r5f_v1_all --adim 4 \
-    --model_dir /root/data/models/ag_r5_inverse --steps 3000 \
+    --model_dir /root/data/models/ag_r5_inverse --steps 2000 \
     --ckpt_every 500 \
     > /root/data/models/ag_r5_inverse_train.log 2>&1
 echo "inverse training rc=$?"
@@ -36,6 +36,24 @@ cp benchmarks/ag_bench20_inverse/verbose/results_0to19.txt \
    benchmarks/ag_bench20_inverse/runs/r5_v1/ 2>/dev/null
 rm -rf benchmarks/ag_bench20_inverse/verbose/verbose
 grep -m1 'mean imp' benchmarks/ag_bench20_inverse/runs/r5_v1/results_all.txt
+
+# classifier cost on the v2 model, HARD set: the classifier row beat the
+# pixel row on the easy set (+0.018/+0.043 vs +0.013/+0.019); this is the
+# most promising remaining shot at the hard-set bar.
+echo "=== v2-classifier hard campaign $(date) ==="
+VMPC_MODEL_DIR=/root/data/models/ag_r5f_v2 VMPC_STD_LIFT=0.15 \
+    VMPC_TASK_SET=ag_bench20_hard \
+    VMPC_RESULT_DIR=/root/data/bench/ag_clf_v2_hard timeout 3600 \
+    python -m visual_foresight_tpu.sim.run \
+    benchmarks/ag_bench20_classifier/hparams.py --benchmark \
+    > /tmp/ag_clf_v2_hard.log 2>&1
+echo "v2-classifier hard rc=$?"
+mkdir -p benchmarks/ag_bench20_classifier/runs/r5_v2_hard
+cp benchmarks/ag_bench20_classifier/verbose/results_0to19.txt \
+   benchmarks/ag_bench20_classifier/verbose/results_all.txt \
+   benchmarks/ag_bench20_classifier/verbose/scores_0to19.pkl \
+   benchmarks/ag_bench20_classifier/runs/r5_v2_hard/ 2>/dev/null
+grep -m1 'mean imp' benchmarks/ag_bench20_classifier/runs/r5_v2_hard/results_all.txt
 
 echo "=== bench (chunked 800) $(date) ==="
 timeout 1800 python bench.py > /tmp/bench_r5_chunked.json 2>/tmp/bench_r5_chunked.log
