@@ -64,6 +64,10 @@ policy = {
 }
 
 config = {
+    # a feed-forward policy can leave a replayed scene in a state the
+    # validity check rejects on every retry; skip that task (logged) and
+    # score the rest instead of aborting the row (sim/benchmarks.py)
+    'skip_bad_trajs': True,
     'traj_per_file': 128,
     'current_dir': current_dir,
     'save_data': False,

@@ -58,7 +58,22 @@ def perform_benchmark(conf=None, iex=-1, gpu_id=None, ngpu=1):
         os.makedirs(record_dir, exist_ok=True)
         sim.agent._hyperparams['record'] = record_dir
 
-        agent_data = sim.take_sample(i_traj)
+        # skip_bad_trajs (config-gated, same contract as Simulator.run): a
+        # task whose every retry fails — e.g. a policy that leaves a
+        # replayed scene in a state the validity check rejects — drops out
+        # of the campaign (logged) instead of aborting the remaining tasks;
+        # the aggregates then cover the tasks that ran.
+        if conf.get('skip_bad_trajs', False):
+            from visual_foresight_tpu.agent.general_agent import (
+                Bad_Traj_Exception)
+            try:
+                agent_data = sim.take_sample(i_traj)
+            except Bad_Traj_Exception as exc:
+                print('benchmark task {} skipped: {!r}'.format(i_traj, exc))
+                i_traj += 1
+                continue
+        else:
+            agent_data = sim.take_sample(i_traj)
 
         stats_data = agent_data['stats']
         stat_arrays = OrderedDict()
