@@ -53,6 +53,10 @@ agent = {
     'start_goal_confs': os.environ.get(
         'VMPC_TASK_DIR', os.path.join(REPO_ROOT, 'benchmarks/tasks'))
         + '/ag_bench20',
+    # validity failures under a deterministic feed-forward policy repeat
+    # identically; 10 attempts (2 scene regens) is enough to tell a
+    # transient fault from a task this policy cannot keep valid
+    'imax': 10,
     'current_dir': current_dir,
 }
 
