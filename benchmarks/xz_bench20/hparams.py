@@ -58,6 +58,9 @@ policy = {
     # +0.158 mean improvement, same checkpoint/tasks) at 17% less
     # wall-clock (800 pads to 896 lanes; docs/PERFORMANCE.md sample sweep)
     'num_samples': int(os.environ.get('VMPC_NUM_SAMPLES', 768)),
+    # device microbatch over the sample axis (planners/cem.py sample_chunk);
+    # 0 = full-batch rollout
+    'sample_chunk': int(os.environ.get('VMPC_SAMPLE_CHUNK', 0)),
     'nactions': 15,
     # repeat=3 and iterations=3 are the defaults (overriding with the
     # default raises by design)
