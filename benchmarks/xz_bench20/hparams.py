@@ -58,9 +58,6 @@ policy = {
     # +0.158 mean improvement, same checkpoint/tasks) at 17% less
     # wall-clock (800 pads to 896 lanes; docs/PERFORMANCE.md sample sweep)
     'num_samples': int(os.environ.get('VMPC_NUM_SAMPLES', 768)),
-    # device microbatch over the sample axis (planners/cem.py sample_chunk);
-    # 0 = full-batch rollout
-    'sample_chunk': int(os.environ.get('VMPC_SAMPLE_CHUNK', 0)),
     'nactions': 15,
     # repeat=3 and iterations=3 are the defaults (overriding with the
     # default raises by design)
@@ -68,6 +65,13 @@ policy = {
     'model_path': os.environ.get('VMPC_MODEL_DIR',
                                  '/root/data/models/xz_flagship'),
 }
+
+# device microbatch over the sample axis (planners/cem.py sample_chunk);
+# only set when non-zero — 0 is the controller default and identical
+# overrides are rejected by design
+_chunk = int(os.environ.get('VMPC_SAMPLE_CHUNK', 0))
+if _chunk:
+    policy['sample_chunk'] = _chunk
 
 config = {
     'traj_per_file': 128,
