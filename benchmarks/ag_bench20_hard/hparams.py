@@ -92,6 +92,16 @@ _std_lift = float(os.environ.get('VMPC_STD_LIFT', 0.6))
 if _std_lift != GaussianCEMSampler.get_default_hparams()['initial_std_lift']:
     policy['initial_std_lift'] = _std_lift
 
+# latent-dispersion planning (round-5 hard-set lever): K prior-latent
+# copies per unique plan, elites on mean + lambda*std across copies —
+# only set when requested (identical-to-default overrides are rejected)
+_stoch_k = int(os.environ.get('VMPC_STOCH_K', 0))
+if _stoch_k > 1:
+    policy['stochastic_planning'] = (_stoch_k,)
+_stoch_pen = float(os.environ.get('VMPC_STOCH_PEN', 0))
+if _stoch_pen:
+    policy['stochastic_penalty'] = _stoch_pen
+
 config = {
     'traj_per_file': 128,
     'current_dir': current_dir,

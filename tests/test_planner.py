@@ -408,3 +408,51 @@ def test_fused_planner_sample_chunking_parity():
                          distribs, ctx_actions, grids, initial_mean(spec),
                          initial_sigma(spec), num_samples=20)
     assert np.asarray(out['scores_per_itr']).shape == (2, 20)
+
+
+def test_fused_planner_stochastic_dispersion_penalty():
+    """stochastic_penalty: with K latent copies per unique plan, elites are
+    selected on mean + lambda*std across copies — a plan that is great
+    under one latent but poor under others (predictor optimism) must lose
+    to a consistently-good plan, and all reported elites must be (first
+    rows of) unique-plan groups."""
+    import jax.numpy as jnp
+    from visual_foresight_tpu.planners.cem import FusedCEMPlanner
+
+    model, params, grids, ctx = _tiny_setup()
+    spec = make_action_spec(HP, 3)
+    imgs, states, distribs, ctx_actions = ctx
+
+    calls = {}
+
+    def dispersed_cost(gen_images, gen_distribs, cost_ctx):
+        # synthetic scores: group 0 disperses (0 or 10 alternating copies),
+        # group 1 is consistently 4, everyone else consistently 6
+        m = gen_distribs.shape[0]
+        row = jnp.arange(m)
+        group, copy = row // 2, row % 2
+        scores = jnp.full((m,), 6.0)
+        scores = jnp.where(group == 0, jnp.where(copy == 0, 0.0, 10.0),
+                           scores)
+        scores = jnp.where(group == 1, 4.0, scores)
+        calls['m'] = m
+        return scores
+
+    def run(penalty):
+        planner = FusedCEMPlanner(model, spec, num_samples=16, iterations=1,
+                                  k_elite=4, n_vis=2, stochastic_k=2,
+                                  stochastic_penalty=penalty,
+                                  cost_fn=dispersed_cost)
+        return planner.replan([params], jax.random.PRNGKey(0), imgs, states,
+                              distribs, ctx_actions, grids,
+                              initial_mean(spec), initial_sigma(spec))
+
+    # reference semantics: the optimistic copy (score 0) wins
+    plain = run(0.0)
+    assert float(plain['best_scores'][0]) == 0.0
+    # penalized: group 0 scores 5 + 1.0*5 = 10; group 1 scores 4 -> wins
+    pen = run(1.0)
+    assert np.isclose(float(pen['best_scores'][0]), 4.0, atol=1e-5)
+    # elite rows are first copies of groups (even indices)
+    # best group is 1 -> its plan equals row 2's plan
+    assert calls['m'] == 16

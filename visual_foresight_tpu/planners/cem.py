@@ -56,7 +56,8 @@ class FusedCEMPlanner:
                  discrete_dims: Sequence[int] = (),
                  ag_epsilon: Optional[dict] = None,
                  folding: Optional[dict] = None,
-                 sample_chunk: int = 0):
+                 sample_chunk: int = 0,
+                 stochastic_penalty: float = 0.0):
         self._model = model
         self._spec = spec
         self._M = num_samples
@@ -92,6 +93,18 @@ class FusedCEMPlanner:
         self._stoch_k = int(stochastic_k)
         assert self._stoch_k >= 1 and num_samples % self._stoch_k == 0, \
             'num_samples must be a multiple of stochastic_k'
+        # Latent-dispersion penalty (round-5 hard-set lever, docs/EVAL.md):
+        # with stochastic_k copies per unique plan, aggregate the K per-latent
+        # costs into  mean + lambda * std  per unique plan before elite
+        # selection.  The reference's stochastic_planning lets individually
+        # optimistic (plan, latent) rows win top-k; the penalty makes plans
+        # whose predicted OUTCOME disperses across latents — the signature of
+        # predictor optimism — lose to plans that succeed under every latent.
+        # 0.0 = reference semantics (per-row top-k).
+        self._stoch_penalty = float(stochastic_penalty)
+        if self._stoch_penalty:
+            assert self._stoch_k > 1, \
+                'stochastic_penalty needs stochastic_k > 1 copies'
         # discrete_ind semantics (reference controller_utils.py:107):
         # floor-and-clip the listed plan dims into {0..4}
         self._discrete = tuple(int(d) for d in discrete_dims)
@@ -370,7 +383,18 @@ class FusedCEMPlanner:
                         gen_distribs, cost_ctx, self._finalweight,
                         normalize=True, only_first_view=self._ofv)
 
-            neg_top, elite_idx = jax.lax.top_k(-scores, K)
+            if self._stoch_penalty:
+                # aggregate the K latent copies of each unique plan:
+                # mean + lambda*std, then select GROUPS (copies are identical
+                # plans, so the first row of a group is its action sequence)
+                kk = self._stoch_k
+                g = scores.reshape(M // kk, kk)
+                group_scores = g.mean(axis=1) + \
+                    self._stoch_penalty * g.std(axis=1)
+                neg_top, elite_gidx = jax.lax.top_k(-group_scores, K)
+                elite_idx = elite_gidx * kk
+            else:
+                neg_top, elite_idx = jax.lax.top_k(-scores, K)
             elite_actions = plan[elite_idx]
             best_actions = elite_actions
             plan_scores.append(scores)

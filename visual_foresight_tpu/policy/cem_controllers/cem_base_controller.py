@@ -34,6 +34,9 @@ _CEM_DEFAULTS = dict(
     iterations=3,
     num_samples=200,
     sample_chunk=0,                 # >0: device microbatch over the sample axis
+    stochastic_penalty=0.0,         # >0 with stochastic_planning=(K,): elite
+                                    # selection on mean + lambda*std across the
+                                    # K latent copies of each unique plan
     selection_frac=0.,              # elite fraction (0 = minimum_selection)
     start_planning=0,
     minimum_selection=10,

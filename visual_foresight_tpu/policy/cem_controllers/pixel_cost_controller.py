@@ -151,7 +151,8 @@ class PixelCostController(CEMBaseController):
                     discrete_dims=tuple(self._hp.get('discrete_ind', None)
                                         or ()),
                     ag_epsilon=ag_eps_cfg,
-                    sample_chunk=self._hp.sample_chunk)
+                    sample_chunk=self._hp.sample_chunk,
+                    stochastic_penalty=self._hp.stochastic_penalty)
             elif self._hp.sampler is FoldingCEMSampler:
                 # structured folding prior: phase means/waypoints and the
                 # Gaussian remainder all sample on device; refit is the
