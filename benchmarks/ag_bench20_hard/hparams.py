@@ -55,6 +55,14 @@ agent = {
     'current_dir': current_dir,
 }
 
+def _resolve_model():
+    from visual_foresight_tpu.prediction.checkpoints import resolve_model_dir
+    return resolve_model_dir(
+        ('/root/data/models/ag_r5f_v2',
+         os.path.join(REPO_ROOT, 'benchmarks/models/ag_r5f_v2'))
+    ) or '/root/data/models/ag_r5f_v2'
+
+
 policy = {
     'type': PixelCostController,
     'initial_std': 0.04,
@@ -76,7 +84,9 @@ policy = {
     'num_samples': 768,
     'nactions': 10,
     'T': 30,
-    'model_path': os.environ.get('VMPC_MODEL_DIR', '/root/data/models/ag_r4'),
+    # fallback chain mirrors bench.py: a fresh /root/data run wins, else
+    # the checkpoint vendored in-repo (survives data wipes)
+    'model_path': os.environ.get('VMPC_MODEL_DIR', '') or _resolve_model(),
 }
 
 # z-sampling std must roughly match the TRAINING corpus's action
